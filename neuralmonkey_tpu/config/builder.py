@@ -43,10 +43,21 @@ MODULE_ALIASES = {
 }
 
 # Specific class renames where a 1:1 module mapping is not enough.
+# TF optimizer names map to optax-wrapping factories so reference
+# configs' [optimizer] sections work unchanged.
+_OPT = "neuralmonkey_tpu.trainers.optimizers."
 CLASS_ALIASES = {
     "tf_manager.TensorFlowManager": "neuralmonkey_tpu.runtime.TPUManager",
     "neuralmonkey.tf_manager.TensorFlowManager":
         "neuralmonkey_tpu.runtime.TPUManager",
+    "tf.train.AdamOptimizer": _OPT + "AdamOptimizer",
+    "tf.train.GradientDescentOptimizer":
+        _OPT + "GradientDescentOptimizer",
+    "tf.train.MomentumOptimizer": _OPT + "MomentumOptimizer",
+    "tf.train.AdadeltaOptimizer": _OPT + "AdadeltaOptimizer",
+    "tf.train.RMSPropOptimizer": _OPT + "RMSPropOptimizer",
+    "tf.contrib.opt.LazyAdamOptimizer": _OPT + "LazyAdamOptimizer",
+    "tensorflow.train.AdamOptimizer": _OPT + "AdamOptimizer",
 }
 
 

@@ -1,0 +1,287 @@
+"""Training loop + dataset evaluation (reference nm/learning_utils.py).
+
+``training_loop`` drives epochs of batched jitted train steps with
+periodic console/JSONL logging and validation: all runners over the
+validation set(s), postprocessing, evaluators, best-checkpoint link.
+Metrics are appended to ``<output>/metrics.jsonl`` (the TensorBoard-
+event equivalent; one JSON object per event, easy to plot)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .dataset import BatchingScheme, Dataset
+from .logging import log, log_print, warn
+from .runners.base_runner import ExecutionResult, reduce_execution_results
+
+_TIME_PERIOD = re.compile(r"^(\d+(\.\d+)?)([smhd])$")
+_UNIT_SECONDS = {"s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
+
+
+def _parse_period(period) -> Tuple[Optional[int], Optional[float]]:
+    """Returns (steps, seconds) — exactly one is set."""
+    if period is None:
+        return None, None
+    if isinstance(period, int):
+        return period, None
+    match = _TIME_PERIOD.match(str(period))
+    if not match:
+        raise ValueError(f"Cannot parse period '{period}'")
+    return None, float(match.group(1)) * _UNIT_SECONDS[match.group(3)]
+
+
+def normalize_evaluation(evaluation) -> List[Tuple[str, str, Any]]:
+    """Normalize [main] evaluation entries to
+    (hypothesis_series, reference_series, evaluator)."""
+    normalized = []
+    for entry in evaluation or []:
+        if not isinstance(entry, (tuple, list)):
+            raise ValueError(f"Bad evaluation entry: {entry!r}")
+        if len(entry) == 2:
+            series, evaluator = entry
+            normalized.append((series, series, evaluator))
+        elif len(entry) == 3:
+            normalized.append(tuple(entry))
+        else:
+            raise ValueError(f"Bad evaluation entry: {entry!r}")
+    return normalized
+
+
+def _main_metric_name(evaluation) -> Optional[str]:
+    if not evaluation:
+        return None
+    hyp, _, evaluator = evaluation[-1]
+    return f"{hyp}/{evaluator.name}"
+
+
+class MetricsWriter:
+    """JSONL metrics sink (TensorBoard-scalar equivalent)."""
+
+    def __init__(self, output_dir: Optional[str]) -> None:
+        self.path = (os.path.join(output_dir, "metrics.jsonl")
+                     if output_dir else None)
+
+    def write(self, kind: str, step: int, values: Dict[str, float]
+              ) -> None:
+        if self.path is None:
+            return
+        record = {"kind": kind, "step": step, "time": time.time()}
+        record.update({k: float(v) for k, v in values.items()})
+        with open(self.path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(record) + "\n")
+
+
+def run_on_dataset(tf_manager, runners, dataset: Dataset,
+                   postprocess=None,
+                   batching_scheme: BatchingScheme = None,
+                   batch_size: int = None,
+                   write_out: bool = False
+                   ) -> Tuple[List[ExecutionResult], Dict[str, List]]:
+    """Run all runners over a dataset; returns (results, output dict)."""
+    if batching_scheme is None:
+        batching_scheme = BatchingScheme(batch_size=batch_size or 16)
+    results = tf_manager.execute(
+        dataset, runners, batch_size=batching_scheme.batch_size or 16,
+        train=False, batching_scheme=batching_scheme)
+    outputs: Dict[str, List] = {}
+    for runner, result in zip(runners, results):
+        outputs[runner.output_series] = result.outputs
+
+    if postprocess is not None:
+        for series_name, function in postprocess:
+            source = outputs.get(series_name)
+            if source is None:
+                warn(f"Postprocess source series '{series_name}' "
+                     "not produced by any runner")
+                continue
+            outputs[series_name] = function(source)
+
+    if write_out:
+        for series_name, data in outputs.items():
+            if series_name in dataset.series_outputs:
+                path = dataset.series_outputs[series_name]
+                with open(path, "w", encoding="utf-8") as f:
+                    for item in data:
+                        if isinstance(item, list):
+                            f.write(" ".join(str(t) for t in item) + "\n")
+                        else:
+                            f.write(str(item) + "\n")
+                log(f"Series '{series_name}' written to {path}")
+            else:
+                log(f"No output file for series '{series_name}'")
+    return results, outputs
+
+
+def evaluation(evaluators: List[Tuple[str, str, Any]], dataset: Dataset,
+               execution_results: List[ExecutionResult],
+               outputs: Dict[str, List]) -> Dict[str, float]:
+    """Compute all metrics; also surfaces runner losses."""
+    eval_result: Dict[str, float] = {}
+    for result in execution_results:
+        for name, value in result.losses.items():
+            eval_result[name] = value
+    for hyp_series, ref_series, evaluator in evaluators:
+        if hyp_series not in outputs:
+            continue
+        if not dataset.has_series(ref_series):
+            continue
+        references = dataset.get_series(ref_series)
+        eval_result[f"{hyp_series}/{evaluator.name}"] = evaluator(
+            outputs[hyp_series], references)
+    return eval_result
+
+
+def _format_eval(eval_result: Dict[str, float]) -> str:
+    return "    ".join(f"{name}: {value:.4g}"
+                       for name, value in sorted(eval_result.items()))
+
+
+def training_loop(tf_manager,
+                  epochs: int,
+                  trainer,
+                  batching_scheme: BatchingScheme,
+                  runners_batching_scheme: BatchingScheme,
+                  train_dataset: Dataset,
+                  val_datasets: List[Dataset],
+                  evaluation_spec,
+                  runners,
+                  test_datasets: List[Dataset] = None,
+                  logging_period=20,
+                  validation_period=500,
+                  postprocess=None,
+                  output_dir: str = None,
+                  initial_test: bool = False) -> None:
+    """The main training driver (reference call stack SURVEY.md §4.1)."""
+    evaluators = normalize_evaluation(evaluation_spec)
+    main_metric = _main_metric_name(evaluators)
+    metrics = MetricsWriter(output_dir)
+    var_path = (os.path.join(output_dir, "variables.data")
+                if output_dir else "/tmp/variables.data")
+
+    log_steps, log_seconds = _parse_period(logging_period)
+    val_steps, val_seconds = _parse_period(validation_period)
+    last_log_time = time.time()
+    last_val_time = time.time()
+    interrupted = False
+
+    log(f"Starting training: {epochs} epochs, main metric: "
+        f"{main_metric or 'loss'}")
+
+    def validate(step: int, epoch: int) -> None:
+        for vi, val_dataset in enumerate(val_datasets):
+            results, outputs = run_on_dataset(
+                tf_manager, runners, val_dataset, postprocess,
+                batching_scheme=runners_batching_scheme)
+            eval_result = evaluation(
+                evaluators, val_dataset, results, outputs)
+            tag = ("val" if len(val_datasets) == 1 else f"val{vi}")
+            log(f"Validation ({tag}) step {step}: "
+                f"{_format_eval(eval_result)}", color="blue")
+            metrics.write(tag, step, eval_result)
+            if vi == len(val_datasets) - 1:
+                score = eval_result.get(main_metric)
+                if score is None:
+                    score = -eval_result.get("runtime_xent",
+                                             float("inf"))
+                is_best = tf_manager.validation_hook(
+                    score, step, epoch, var_path)
+                if is_best and outputs:
+                    _log_examples(val_dataset, outputs, evaluators)
+
+    try:
+        step_losses: List[Dict[str, float]] = []
+        for epoch in range(1, epochs + 1):
+            tf_manager.epoch = epoch
+            log_print("")
+            log(f"Epoch {epoch} begins", color="red")
+            train_dataset.shuffled = True
+            for batch in train_dataset.batches(batching_scheme):
+                losses = tf_manager.train_on_batch(
+                    trainer, batch,
+                    batching_scheme.batch_size or len(batch))
+                step_losses.append(losses)
+                step = tf_manager.global_step
+
+                should_log = (
+                    (log_steps and step % log_steps == 0)
+                    or (log_seconds
+                        and time.time() - last_log_time > log_seconds))
+                if should_log:
+                    mean_losses = {
+                        key: float(np.mean([l[key] for l in step_losses
+                                            if key in l]))
+                        for key in step_losses[-1]}
+                    log(f"Epoch {epoch} step {step}: "
+                        f"{_format_eval(mean_losses)}")
+                    metrics.write("train", step, mean_losses)
+                    step_losses = []
+                    last_log_time = time.time()
+
+                should_val = (
+                    (val_steps and step % val_steps == 0)
+                    or (val_seconds
+                        and time.time() - last_val_time > val_seconds))
+                if should_val and val_datasets:
+                    validate(step, epoch)
+                    last_val_time = time.time()
+    except KeyboardInterrupt:
+        interrupted = True
+        warn("Training interrupted by user — saving variables")
+
+    # final validation + save
+    if val_datasets and not interrupted:
+        validate(tf_manager.global_step, tf_manager.epoch)
+    tf_manager.save(var_path)
+    tf_manager.save_optimizer_state(var_path)
+
+    log(f"Training finished. Best score: {tf_manager.best_score} "
+        f"(step {tf_manager.best_score_step}, "
+        f"epoch {tf_manager.best_score_epoch})", color="green")
+
+    if test_datasets:
+        # evaluate the best checkpoint on test sets
+        best_link = var_path + ".best"
+        if os.path.exists(best_link):
+            tf_manager.restore([best_link])
+        for test_dataset in test_datasets:
+            results, outputs = run_on_dataset(
+                tf_manager, runners, test_dataset, postprocess,
+                batching_scheme=runners_batching_scheme,
+                write_out=True)
+            eval_result = evaluation(
+                evaluators, test_dataset, results, outputs)
+            print_final_evaluation(test_dataset.name, eval_result)
+
+
+def _log_examples(dataset: Dataset, outputs: Dict[str, List],
+                  evaluators, limit: int = 5) -> None:
+    if not evaluators:
+        return
+    hyp_series, ref_series, _ = evaluators[-1]
+    if hyp_series not in outputs or not dataset.has_series(ref_series):
+        return
+    refs = dataset.get_series(ref_series)
+    hyps = outputs[hyp_series]
+    log_print("Examples:")
+    for i in range(min(limit, len(hyps))):
+        hyp = hyps[i]
+        ref = refs[i]
+        hyp_str = " ".join(hyp) if isinstance(hyp, list) else str(hyp)
+        ref_str = " ".join(ref) if isinstance(ref, list) else str(ref)
+        log_print(f"  [{i}] out: {hyp_str}")
+        log_print(f"      ref: {ref_str}")
+
+
+def print_final_evaluation(name: str,
+                           eval_result: Dict[str, float]) -> None:
+    log_print("")
+    log(f"Evaluating model on '{name}'")
+    for metric, value in sorted(eval_result.items()):
+        log_print(f"... {metric:<25} {value:.4g}")
+    log_print("")

@@ -1,0 +1,203 @@
+"""ModelPart base + the functional forward Context.
+
+Rebuild of reference nm/model/model_part.py + nm/decorators.py. The
+reference built a TF graph lazily through memoizing ``@tensor``
+properties; here the same part graph is *pure*: a part method takes a
+:class:`Context` (params pytree + featurized batch + train flag + rng)
+and returns arrays. The :func:`tensor` decorator memoizes per-Context —
+i.e. per jit trace — so shared sub-results (an encoder feeding two
+attentions) are computed once, exactly like the reference's graph
+caching, but with no global state.
+
+Parameters live in one top-level dict keyed by part name (the analogue
+of TF variable scopes), which preserves the reference's per-part
+checkpointing and ``reuse`` (parameter sharing) semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+import zlib
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..logging import debug
+
+
+class Context:
+    """One forward pass: memoization + params/batch/rng access."""
+
+    def __init__(self, params: Dict[str, Any], batch: Dict[str, Any],
+                 train: bool = False, rng=None) -> None:
+        self.params = params
+        self.batch = batch
+        self.train = train
+        self.rng = rng
+        self._cache: Dict = {}
+
+    def cached(self, part: "ModelPart", attr: str,
+               fn: Callable) -> Any:
+        key = (id(part), attr)
+        if key not in self._cache:
+            self._cache[key] = fn(part, self)
+        return self._cache[key]
+
+    def get_params(self, part: "ModelPart") -> Any:
+        key = part.param_key
+        if key not in self.params:
+            raise KeyError(
+                f"No parameters for part '{key}' (have "
+                f"{sorted(self.params.keys())})")
+        return self.params[key]
+
+    def make_rng(self, part: "ModelPart", site: str):
+        """Deterministic per-(part, site) rng stream."""
+        if self.rng is None:
+            raise ValueError(
+                "Context has no rng (pass one for train-mode dropout)")
+        salt = zlib.crc32(f"{part.name}/{site}".encode()) & 0x7FFFFFFF
+        return jax.random.fold_in(self.rng, salt)
+
+    def dropout(self, part: "ModelPart", x, keep_prob: float,
+                site: str = "dropout"):
+        """Part-scoped inverted dropout; identity at inference."""
+        from ..ops.nn import dropout as _dropout
+        if not self.train or keep_prob >= 1.0:
+            return x
+        return _dropout(x, keep_prob, self.make_rng(part, site), True)
+
+
+def tensor(fn: Callable) -> Callable:
+    """Per-Context memoizing method decorator (the reference's @tensor)."""
+    @functools.wraps(fn)
+    def wrapper(self, ctx: Context):
+        return ctx.cached(self, fn.__name__, fn)
+    return wrapper
+
+
+class ModelPart:
+    """Base class for all model parts.
+
+    Subclasses implement:
+    - ``init_params(rng) -> params`` for their own parameters (children
+      are initialized separately by the runtime);
+    - ``featurize(dataset, train) -> {key: np.ndarray}`` turning dataset
+      series into model inputs (the analogue of ``feed_dict``);
+    - interface methods (``output``/``temporal_states``/...) taking a
+      Context.
+    """
+
+    def __init__(self, name: str,
+                 reuse: "ModelPart" = None,
+                 save_checkpoint: str = None,
+                 load_checkpoint: str = None,
+                 initializers=None) -> None:
+        if not name:
+            raise ValueError("Model part name cannot be empty")
+        self.name = name
+        self.reuse = reuse
+        self.save_checkpoint = save_checkpoint
+        self.load_checkpoint = load_checkpoint
+        self.initializers = initializers
+
+    @property
+    def param_key(self) -> str:
+        """Name under which this part's params live (shared if reuse)."""
+        return self.reuse.param_key if self.reuse is not None else self.name
+
+    # ------------------------------------------------------------------ #
+    def init_params(self, rng) -> Dict[str, Any]:
+        """Initialize this part's own parameters. Default: none."""
+        del rng
+        return {}
+
+    def featurize(self, dataset, train: bool = False
+                  ) -> Dict[str, np.ndarray]:
+        """Build input arrays for a dataset batch. Default: none."""
+        del dataset, train
+        return {}
+
+    def children(self) -> List["ModelPart"]:
+        """Direct child parts (auto-discovered from attributes)."""
+        found: List[ModelPart] = []
+        seen = set()
+
+        def visit(value):
+            if isinstance(value, ModelPart):
+                if id(value) not in seen:
+                    seen.add(id(value))
+                    found.append(value)
+            elif isinstance(value, (list, tuple)):
+                for item in value:
+                    visit(item)
+
+        for attr, value in self.__dict__.items():
+            if attr == "reuse":
+                continue
+            visit(value)
+        if self.reuse is not None:
+            visit(self.reuse)
+        return found
+
+    def __repr__(self) -> str:
+        return f"<{type(self).__name__} '{self.name}'>"
+
+
+def collect_parts(roots: Sequence[Any]) -> List[ModelPart]:
+    """All ModelParts reachable from *roots* (depth-first, dedup by id).
+
+    Non-ModelPart roots (trainers, runners) contribute via their
+    ``.all_parts``/``.parts``/``.decoder`` attributes when present.
+    """
+    result: List[ModelPart] = []
+    seen = set()
+
+    def visit(obj):
+        if obj is None:
+            return
+        if isinstance(obj, (list, tuple)):
+            for item in obj:
+                visit(item)
+            return
+        if isinstance(obj, ModelPart):
+            if id(obj) in seen:
+                return
+            seen.add(id(obj))
+            result.append(obj)
+            for child in obj.children():
+                visit(child)
+            return
+        # duck-typed containers (trainers/runners expose their parts)
+        for attr in ("all_parts", "parts", "decoder", "decoders",
+                     "encoders", "attentions", "objectives", "trainers"):
+            if hasattr(obj, attr):
+                visit(getattr(obj, attr))
+
+    visit(list(roots))
+    return result
+
+
+def init_all_params(parts: Sequence[ModelPart], rng) -> Dict[str, Any]:
+    """Initialize the full parameter tree, one entry per param_key.
+
+    Parts sharing parameters via ``reuse`` initialize once (the reuse
+    target wins). RNG is split per part *name* (stable across part
+    ordering) so adding parts doesn't reshuffle other parts' initials.
+    """
+    params: Dict[str, Any] = {}
+    for part in parts:
+        key = part.param_key
+        if key in params:
+            continue
+        owner = part
+        while owner.reuse is not None:
+            owner = owner.reuse
+        salt = zlib.crc32(key.encode()) & 0x7FFFFFFF
+        part_rng = jax.random.fold_in(rng, salt)
+        # keep empty dicts too: every part has a params entry, so
+        # Context.get_params is uniform and checkpoints list all parts
+        params[key] = owner.init_params(part_rng)
+        debug(f"Initialized params for '{key}'", "model")
+    return params

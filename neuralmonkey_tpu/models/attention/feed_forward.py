@@ -1,0 +1,144 @@
+"""Bahdanau (MLP-energy) attention (reference nm/attention/feed_forward.py).
+
+Energies ``e_i = v · tanh(W_q s + W_k h_i + b)``; masked softmax;
+context = Σ a_i h_i. The key projection ``W_k h_i`` is hoisted into
+``precompute`` so the decode loop's per-step cost is one (B,q)x(q,a)
+matmul, a (B,T,a) add + tanh, and a (B,T,a)x(a,) reduction — all fusable
+by XLA into a single VMEM-resident kernel per step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...model.part import Context, ModelPart, tensor
+from ...ops import nn
+from .base_attention import (AttentionConstants, BaseAttention,
+                             get_attention_mask, get_attention_states,
+                             masked_softmax)
+
+
+class Attention(BaseAttention):
+
+    def __init__(self, name: str,
+                 encoder,
+                 dropout_keep_prob: float = 1.0,
+                 state_size: int = None,
+                 reuse: ModelPart = None,
+                 save_checkpoint: str = None,
+                 load_checkpoint: str = None) -> None:
+        super().__init__(name, reuse, save_checkpoint, load_checkpoint)
+        self.encoder = encoder
+        self.dropout_keep_prob = dropout_keep_prob
+        # attention_state_size: hidden size of the energy MLP
+        self.state_size = state_size if state_size is not None else \
+            getattr(encoder, "output_dim", None) or encoder.state_dim
+
+    @property
+    def context_dim(self) -> int:
+        return self.encoder.state_dim
+
+    def init_params(self, rng):
+        if self.query_dim is None:
+            raise ValueError(
+                f"Attention '{self.name}' has no registered query dim "
+                "(is it attached to a decoder?)")
+        k1, k2, k3 = jax.random.split(rng, 3)
+        return {
+            "key_proj": nn.linear_init(k1, self.encoder.state_dim,
+                                       self.state_size, use_bias=True),
+            "query_proj": nn.linear_init(k2, self.query_dim,
+                                         self.state_size, use_bias=False),
+            "similarity_v": (jax.random.normal(k3, (self.state_size,))
+                             * (1.0 / jnp.sqrt(self.state_size))),
+        }
+
+    @tensor
+    def precompute(self, ctx: Context) -> AttentionConstants:
+        states = get_attention_states(ctx, self.encoder)
+        mask = get_attention_mask(ctx, self.encoder)
+        params = ctx.get_params(self)
+        keys = nn.linear(params["key_proj"], states)  # (B, T, a)
+        return AttentionConstants(states=states, keys=keys, mask=mask)
+
+    def step(self, params, constants: AttentionConstants, query):
+        # query: (B, q) -> (B, 1, a)
+        projected_query = nn.linear(params["query_proj"], query)[:, None, :]
+        energies = jnp.einsum(
+            "bta,a->bt",
+            jnp.tanh(constants.keys + projected_query),
+            params["similarity_v"])
+        weights = masked_softmax(energies, constants.mask)
+        context = jnp.einsum("bt,btd->bd", weights, constants.states)
+        return context, weights
+
+    def attend_sequence(self, params, constants, queries):
+        """All-steps-at-once variant for teacher forcing: queries
+        (B, Tq, q) -> contexts (B, Tq, d), weights (B, Tq, T)."""
+        projected = nn.linear(params["query_proj"], queries)  # (B,Tq,a)
+        energies = jnp.einsum(
+            "btqa,a->btq",
+            jnp.tanh(constants.keys[:, None, :, :]
+                     + projected[:, :, None, :]),
+            params["similarity_v"])  # (B, Tq, T)
+        weights = masked_softmax(energies, constants.mask[:, None, :])
+        contexts = jnp.einsum("btq,bqd->btd", weights, constants.states)
+        return contexts, weights
+
+
+class CoverageAttention(Attention):
+    """Coverage attention (reference nm/attention/coverage.py; Tu et al.
+    2016): the energy additionally sees the accumulated attention mass
+    per source position. Stateful across decoder steps — the decoder
+    threads the coverage vector through its loop state via
+    ``step_with_coverage``."""
+
+    def __init__(self, name: str,
+                 encoder,
+                 dropout_keep_prob: float = 1.0,
+                 state_size: int = None,
+                 max_fertility: int = 5,
+                 reuse: ModelPart = None,
+                 save_checkpoint: str = None,
+                 load_checkpoint: str = None) -> None:
+        super().__init__(name, encoder, dropout_keep_prob, state_size,
+                         reuse, save_checkpoint, load_checkpoint)
+        self.max_fertility = max_fertility
+
+    @property
+    def stateful_attention(self) -> bool:
+        return True
+
+    def init_params(self, rng):
+        params = super().init_params(rng)
+        k1, k2 = jax.random.split(jax.random.fold_in(rng, 7))
+        params["coverage_proj"] = (
+            jax.random.normal(k1, (1, self.state_size)) * 0.001)
+        params["fertility_proj"] = nn.linear_init(
+            k2, self.encoder.state_dim, 1, use_bias=True)
+        return params
+
+    def step_with_coverage(self, params, constants, query, coverage):
+        """coverage: (B, T) accumulated weights. Returns
+        (context, weights, new_coverage)."""
+        fertility = self.max_fertility * jax.nn.sigmoid(
+            nn.linear(params["fertility_proj"], constants.states)[..., 0])
+        cov_feature = (coverage / jnp.maximum(fertility, 1e-6))[..., None]
+        cov_term = cov_feature * params["coverage_proj"]  # (B, T, a)
+        projected_query = nn.linear(params["query_proj"], query)[:, None, :]
+        energies = jnp.einsum(
+            "bta,a->bt",
+            jnp.tanh(constants.keys + projected_query + cov_term),
+            params["similarity_v"])
+        weights = masked_softmax(energies, constants.mask)
+        context = jnp.einsum("bt,btd->bd", weights, constants.states)
+        return context, weights, coverage + weights
+
+    def step(self, params, constants, query):
+        # Fallback without state (coverage = 0); decoders that know about
+        # stateful attentions call step_with_coverage instead.
+        context, weights, _ = self.step_with_coverage(
+            params, constants, query,
+            jnp.zeros_like(constants.mask))
+        return context, weights

@@ -1,0 +1,247 @@
+"""Autoregressive decoder base (reference nm/decoders/autoregressive.py).
+
+Shared machinery for RNN and Transformer decoders: target featurization
+(teacher inputs = ``<s> w1..wn``, targets = ``w1..wn </s>``), masked
+cross-entropy with optional label smoothing, and the greedy decode loop.
+
+TPU-native decisions:
+- teacher-forced and greedy paths are jitted functions over *static*
+  max lengths (bucketed batches keep the shape set finite);
+- the greedy loop is a ``lax.scan`` on device — no per-step host
+  round-trips (the reference's per-step session.run, SURVEY.md §4.4);
+- beam search lives in decoders/beam_search_decoder.py and reuses the
+  subclass step API defined here.
+
+Subclass contract (used by greedy and beam search):
+- ``decode_constants(ctx)`` -> pytree of per-sentence constants
+  (attention keys, embedding tables, parameters…);
+- ``decode_initial_state(ctx, constants)`` -> loop-state pytree;
+- ``decode_step(constants, loop_state, prev_ids, step)`` ->
+  ``(new_loop_state, logits (B, V), aux dict)`` — pure, scan-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...model.part import Context, ModelPart, tensor
+from ...model.sequence import EmbeddedSequence
+from ...vocabulary import (END_TOKEN_INDEX, PAD_TOKEN_INDEX,
+                           START_TOKEN_INDEX, UNK_TOKEN_INDEX, Vocabulary)
+
+
+class AutoregressiveDecoder(ModelPart):
+
+    def __init__(self, name: str,
+                 vocabulary: Vocabulary,
+                 data_id: str,
+                 max_output_len: int,
+                 dropout_keep_prob: float = 1.0,
+                 embedding_size: int = None,
+                 embeddings_source: EmbeddedSequence = None,
+                 tie_embeddings: bool = False,
+                 label_smoothing: float = None,
+                 supress_unk: bool = False,
+                 reuse: ModelPart = None,
+                 save_checkpoint: str = None,
+                 load_checkpoint: str = None) -> None:
+        ModelPart.__init__(self, name, reuse, save_checkpoint,
+                           load_checkpoint)
+        self.vocabulary = vocabulary
+        self.data_id = data_id
+        self.max_output_len = max_output_len
+        self.dropout_keep_prob = dropout_keep_prob
+        self.label_smoothing = label_smoothing
+        self.tie_embeddings = tie_embeddings
+        self.supress_unk = supress_unk
+
+        if embeddings_source is not None:
+            self.embeddings = embeddings_source
+            self.embedding_size = embeddings_source.embedding_size
+            if (embedding_size is not None
+                    and embedding_size != self.embedding_size):
+                raise ValueError(
+                    "embedding_size conflicts with embeddings_source")
+        else:
+            if embedding_size is None:
+                raise ValueError(
+                    "Provide embedding_size or embeddings_source")
+            self.embedding_size = embedding_size
+            self.embeddings = EmbeddedSequence(
+                name=f"{name}_embeddings",
+                vocabulary=vocabulary,
+                data_id=data_id,
+                embedding_size=embedding_size,
+                table_only=True)
+
+        if max_output_len <= 0:
+            raise ValueError("max_output_len must be positive")
+
+    # ------------------------------------------------------------------ #
+    # featurization: train inputs/targets from the target series
+    # ------------------------------------------------------------------ #
+    @property
+    def input_ids_key(self) -> str:
+        return f"{self.name}.train_inputs"
+
+    @property
+    def target_ids_key(self) -> str:
+        return f"{self.name}.train_targets"
+
+    @property
+    def target_mask_key(self) -> str:
+        return f"{self.name}.train_mask"
+
+    def featurize(self, dataset, train: bool = False
+                  ) -> Dict[str, np.ndarray]:
+        if not dataset.has_series(self.data_id):
+            return {}  # inference dataset without targets
+        sentences = dataset.get_series(self.data_id)
+        full, mask = self.vocabulary.sentences_to_tensor(
+            sentences, max_len=self.max_output_len, train_mode=train,
+            add_start_symbol=True, add_end_symbol=True)
+        return {
+            self.input_ids_key: full[:, :-1],
+            self.target_ids_key: full[:, 1:],
+            self.target_mask_key: mask[:, 1:],
+        }
+
+    @tensor
+    def train_inputs(self, ctx: Context):
+        return ctx.batch[self.input_ids_key]
+
+    @tensor
+    def train_targets(self, ctx: Context):
+        return ctx.batch[self.target_ids_key]
+
+    @tensor
+    def train_mask(self, ctx: Context):
+        return ctx.batch[self.target_mask_key]
+
+    # ------------------------------------------------------------------ #
+    # subclass contract
+    # ------------------------------------------------------------------ #
+    def train_logits(self, ctx: Context):
+        """(B, T, V) teacher-forced logits."""
+        raise NotImplementedError
+
+    def decode_constants(self, ctx: Context):
+        raise NotImplementedError
+
+    def decode_initial_state(self, ctx: Context, constants):
+        raise NotImplementedError
+
+    def decode_step(self, constants, loop_state, prev_ids, step):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------ #
+    # losses
+    # ------------------------------------------------------------------ #
+    def _xent(self, logits, targets, mask):
+        """Per-token masked cross-entropy; returns (B, T)."""
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        vocab = logits.shape[-1]
+        if self.label_smoothing:
+            eps = self.label_smoothing
+            target_ll = jnp.take_along_axis(
+                log_probs, targets[..., None], axis=-1)[..., 0]
+            uniform_ll = jnp.mean(log_probs, axis=-1)
+            nll = -((1.0 - eps) * target_ll + eps * uniform_ll)
+        else:
+            nll = -jnp.take_along_axis(
+                log_probs, targets[..., None], axis=-1)[..., 0]
+        return nll * mask
+
+    @tensor
+    def train_xents(self, ctx: Context):
+        """Per-sentence summed xent (B,) — the perplexity runner's input."""
+        logits = self.train_logits(ctx)
+        nll = self._xent(logits, self.train_targets(ctx),
+                         self.train_mask(ctx))
+        return jnp.sum(nll, axis=1)
+
+    @tensor
+    def train_loss(self, ctx: Context):
+        """Mean per-token xent (scalar) — the training objective."""
+        logits = self.train_logits(ctx)
+        mask = self.train_mask(ctx)
+        nll = self._xent(logits, self.train_targets(ctx), mask)
+        return jnp.sum(nll) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    # the reference's name for the decoder's objective value
+    def cost(self, ctx: Context):
+        return self.train_loss(ctx)
+
+    @tensor
+    def runtime_loss(self, ctx: Context):
+        """Xent of the greedy path's logits against the reference —
+        only defined when the batch carries targets."""
+        logits, _, _ = self.greedy_outputs(ctx)
+        targets = self.train_targets(ctx)
+        mask = self.train_mask(ctx)
+        time = min(logits.shape[1], targets.shape[1])
+        nll = self._xent(logits[:, :time], targets[:, :time],
+                         mask[:, :time])
+        return jnp.sum(nll) / jnp.maximum(jnp.sum(mask[:, :time]), 1.0)
+
+    # ------------------------------------------------------------------ #
+    # greedy decoding (on-device scan)
+    # ------------------------------------------------------------------ #
+    def _mask_unk(self, logits):
+        if not self.supress_unk:
+            return logits
+        neg = jnp.finfo(logits.dtype).min
+        return logits.at[..., UNK_TOKEN_INDEX].set(neg)
+
+    @tensor
+    def greedy_outputs(self, ctx: Context
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, Any]:
+        """Returns (logits (B, L, V), decoded ids (B, L), aux pytree)."""
+        constants = self.decode_constants(ctx)
+        init_state = self.decode_initial_state(ctx, constants)
+        batch = self._batch_size(ctx)
+        start_ids = jnp.full((batch,), START_TOKEN_INDEX, jnp.int32)
+        finished0 = jnp.zeros((batch,), bool)
+
+        def body(carry, step):
+            loop_state, prev_ids, finished = carry
+            new_state, logits, aux = self.decode_step(
+                constants, loop_state, prev_ids, step)
+            logits = self._mask_unk(logits)
+            new_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # after a sentence finishes, emit padding
+            new_ids = jnp.where(finished, PAD_TOKEN_INDEX, new_ids)
+            new_finished = finished | (new_ids == END_TOKEN_INDEX)
+            return ((new_state, new_ids, new_finished),
+                    (logits, new_ids, aux))
+
+        _, (logits, decoded, aux) = jax.lax.scan(
+            body, (init_state, start_ids, finished0),
+            jnp.arange(self.max_output_len))
+        # scan stacks on axis 0 (time) -> move to (B, T, ...)
+        logits = jnp.swapaxes(logits, 0, 1)
+        decoded = jnp.swapaxes(decoded, 0, 1)
+        return logits, decoded, aux
+
+    @tensor
+    def decoded(self, ctx: Context):
+        _, ids, _ = self.greedy_outputs(ctx)
+        return ids
+
+    @tensor
+    def runtime_logprobs(self, ctx: Context):
+        logits, _, _ = self.greedy_outputs(ctx)
+        return jax.nn.log_softmax(logits, axis=-1)
+
+    def _batch_size(self, ctx: Context) -> int:
+        for key in (self.input_ids_key,):
+            if key in ctx.batch:
+                return ctx.batch[key].shape[0]
+        # inference: take batch size from any input array
+        for value in ctx.batch.values():
+            return value.shape[0]
+        raise ValueError("Empty batch")

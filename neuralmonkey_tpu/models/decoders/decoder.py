@@ -1,0 +1,306 @@
+"""Attentive RNN decoder (reference nm/decoders/decoder.py).
+
+Supports the vanilla RNNsearch step (attention queried with the previous
+state, cell fed ``[prev_emb, context]``) and the Nematus-style
+conditional GRU (cell1 → attention → cell2), output projections
+(maxout / mlp / linear), initial state projected from encoder outputs,
+and any number of attention objects (incl. multi-source combinators).
+
+Teacher-forced training runs one ``lax.scan`` over time and hoists the
+logit projection out of the loop (one big (B·T, P)×(P, V) MXU matmul
+instead of T small ones). Greedy decoding implements the
+``decode_step`` contract from AutoregressiveDecoder, also used by the
+on-device beam search.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...model.part import Context, ModelPart, tensor
+from ...model.stateful import Stateful
+from ...ops import nn
+from .autoregressive import AutoregressiveDecoder
+
+_OUTPUT_PROJECTIONS = ("maxout", "mlp", "nonlinear", "linear")
+
+
+class Decoder(AutoregressiveDecoder):
+
+    def __init__(self, name: str,
+                 vocabulary,
+                 data_id: str,
+                 max_output_len: int,
+                 rnn_size: int = None,
+                 encoders: List[Stateful] = None,
+                 attentions: List = None,
+                 embedding_size: int = None,
+                 embeddings_source=None,
+                 tie_embeddings: bool = False,
+                 label_smoothing: float = None,
+                 rnn_cell: str = "GRU",
+                 conditional_gru: bool = False,
+                 output_projection: str = "maxout",
+                 maxout_size: int = None,
+                 dropout_keep_prob: float = 1.0,
+                 supress_unk: bool = False,
+                 reuse: ModelPart = None,
+                 save_checkpoint: str = None,
+                 load_checkpoint: str = None) -> None:
+        super().__init__(
+            name=name, vocabulary=vocabulary, data_id=data_id,
+            max_output_len=max_output_len,
+            dropout_keep_prob=dropout_keep_prob,
+            embedding_size=embedding_size,
+            embeddings_source=embeddings_source,
+            tie_embeddings=tie_embeddings,
+            label_smoothing=label_smoothing, supress_unk=supress_unk,
+            reuse=reuse, save_checkpoint=save_checkpoint,
+            load_checkpoint=load_checkpoint)
+        self.encoders = encoders or []
+        self.attentions = attentions or []
+        if output_projection not in _OUTPUT_PROJECTIONS:
+            raise ValueError(
+                f"output_projection must be one of {_OUTPUT_PROJECTIONS}")
+        self.output_projection = output_projection
+        self.rnn_cell_type = rnn_cell
+        self.conditional_gru = conditional_gru
+        if conditional_gru and rnn_cell not in ("GRU", "OrthoGRU"):
+            raise ValueError("conditional_gru requires a GRU cell")
+
+        if rnn_size is None:
+            if not self.encoders:
+                raise ValueError("Need rnn_size or encoders")
+            rnn_size = sum(e.output_dim for e in self.encoders)
+        self.rnn_size = rnn_size
+
+        for att in self.attentions:
+            att.register_query_dim(rnn_size)
+        self.context_dim = sum(a.context_dim for a in self.attentions)
+
+        if conditional_gru:
+            self._cell1 = nn.make_cell(rnn_cell, self.embedding_size,
+                                       rnn_size)
+            self._cell2 = (nn.make_cell(rnn_cell, self.context_dim,
+                                        rnn_size)
+                           if self.attentions else None)
+        else:
+            self._cell1 = nn.make_cell(
+                rnn_cell, self.embedding_size + self.context_dim,
+                rnn_size)
+            self._cell2 = None
+
+        # pre-logit projection input: [state, prev_emb, contexts]
+        self._prelogit_in = (rnn_size + self.embedding_size
+                             + self.context_dim)
+        self.maxout_size = (maxout_size if maxout_size is not None
+                            else self.embedding_size)
+        if output_projection == "maxout":
+            self._prelogit_dim = self.maxout_size
+        elif output_projection in ("mlp", "nonlinear"):
+            self._prelogit_dim = self.embedding_size
+        else:
+            self._prelogit_dim = self._prelogit_in
+        if tie_embeddings and self._prelogit_dim != self.embedding_size:
+            raise ValueError(
+                "tie_embeddings requires pre-logit dim == embedding size")
+
+    # ------------------------------------------------------------------ #
+    @property
+    def output_dim(self) -> int:
+        return self.rnn_size
+
+    def init_params(self, rng):
+        keys = jax.random.split(rng, 6)
+        params: Dict[str, Any] = {}
+        params["cell1"] = self._cell1.init(keys[0])
+        if self._cell2 is not None:
+            params["cell2"] = self._cell2.init(keys[1])
+        enc_dim = sum(e.output_dim for e in self.encoders)
+        if self.encoders:
+            params["initial_state"] = nn.linear_init(
+                keys[2], enc_dim, self.rnn_size)
+        if self.output_projection == "maxout":
+            params["prelogit"] = nn.maxout_init(
+                keys[3], self._prelogit_in, self.maxout_size)
+        elif self.output_projection in ("mlp", "nonlinear"):
+            params["prelogit"] = nn.linear_init(
+                keys[3], self._prelogit_in, self.embedding_size)
+        if not self.tie_embeddings:
+            params["logit"] = nn.linear_init(
+                keys[4], self._prelogit_dim, len(self.vocabulary))
+        else:
+            params["logit_bias"] = jnp.zeros((len(self.vocabulary),))
+        return params
+
+    # ------------------------------------------------------------------ #
+    # shared step machinery
+    # ------------------------------------------------------------------ #
+    def _make_constants(self, ctx: Context) -> Dict[str, Any]:
+        params = ctx.get_params(self)
+        return {
+            "params": params,
+            "att_params": tuple(ctx.get_params(a)
+                                for a in self.attentions),
+            "att_constants": tuple(a.precompute(ctx)
+                                   for a in self.attentions),
+            "embed_table":
+                ctx.get_params(self.embeddings)["embeddings"],
+        }
+
+    def _att_initial_states(self, constants) -> Tuple:
+        states = []
+        for att, c in zip(self.attentions, constants["att_constants"]):
+            if getattr(att, "stateful_attention", False):
+                states.append(jnp.zeros_like(c.mask))
+            else:
+                states.append(None)
+        return tuple(states)
+
+    def _attend_all(self, constants, query, att_states):
+        """Run every attention for one step. Returns (contexts list,
+        weights list, new att_states)."""
+        contexts, weights, new_states = [], [], []
+        for i, att in enumerate(self.attentions):
+            p = constants["att_params"][i]
+            c = constants["att_constants"][i]
+            if getattr(att, "stateful_attention", False):
+                context, w, new_cov = att.step_with_coverage(
+                    p, c, query, att_states[i])
+                new_states.append(new_cov)
+            else:
+                context, w = att.step(p, c, query)
+                new_states.append(None)
+            contexts.append(context)
+            weights.append(w)
+        return contexts, weights, tuple(new_states)
+
+    def _cell_step(self, constants, state, att_states, embedded_prev):
+        """One decoder cell step. Returns
+        (new_state, prelogit_input, weights, new_att_states)."""
+        params = constants["params"]
+        if self.conditional_gru:
+            inter, _ = self._cell1(params["cell1"], state, embedded_prev)
+            if self.attentions:
+                contexts, weights, new_att = self._attend_all(
+                    constants, inter, att_states)
+                context_cat = jnp.concatenate(contexts, axis=-1)
+                new_state, _ = self._cell2(
+                    params["cell2"], inter, context_cat)
+            else:
+                contexts, weights, new_att = [], [], att_states
+                context_cat = None
+                new_state = inter
+        else:
+            if self.attentions:
+                contexts, weights, new_att = self._attend_all(
+                    constants, state, att_states)
+                context_cat = jnp.concatenate(contexts, axis=-1)
+                cell_in = jnp.concatenate(
+                    [embedded_prev, context_cat], axis=-1)
+            else:
+                contexts, weights, new_att = [], [], att_states
+                context_cat = None
+                cell_in = embedded_prev
+            new_state, _ = self._cell1(params["cell1"], state, cell_in)
+
+        pieces = [new_state, embedded_prev]
+        if context_cat is not None:
+            pieces.append(context_cat)
+        prelogit_in = jnp.concatenate(pieces, axis=-1)
+        return new_state, prelogit_in, weights, new_att
+
+    def _prelogit(self, params, prelogit_in):
+        if self.output_projection == "maxout":
+            return nn.maxout(params["prelogit"], prelogit_in)
+        if self.output_projection in ("mlp", "nonlinear"):
+            return jnp.tanh(nn.linear(params["prelogit"], prelogit_in))
+        return prelogit_in
+
+    def _logits(self, constants, prelogit):
+        params = constants["params"]
+        if self.tie_embeddings:
+            return (jnp.dot(prelogit, constants["embed_table"].T,
+                            preferred_element_type=jnp.float32)
+                    + params["logit_bias"])
+        return nn.linear(params["logit"], prelogit)
+
+    @tensor
+    def initial_state(self, ctx: Context):
+        if not self.encoders:
+            batch = self._batch_size(ctx)
+            return jnp.zeros((batch, self.rnn_size))
+        params = ctx.get_params(self)
+        enc_out = jnp.concatenate(
+            [e.output(ctx) for e in self.encoders], axis=-1)
+        s0 = jnp.tanh(nn.linear(params["initial_state"], enc_out))
+        return ctx.dropout(self, s0, self.dropout_keep_prob,
+                           "initial_state_dropout")
+
+    # ------------------------------------------------------------------ #
+    # teacher-forced training
+    # ------------------------------------------------------------------ #
+    @tensor
+    def train_outputs(self, ctx: Context):
+        """Scan over teacher inputs; returns (prelogits (B,T,P),
+        attention weight histories tuple)."""
+        constants = self._make_constants(ctx)
+        inputs = self.train_inputs(ctx)
+        embedded = self.embeddings.embed(ctx, inputs)
+        embedded = ctx.dropout(self, embedded, self.dropout_keep_prob,
+                               "embedding_dropout")
+        s0 = self.initial_state(ctx)
+        att0 = self._att_initial_states(constants)
+
+        embedded_tm = jnp.swapaxes(embedded, 0, 1)  # (T, B, E)
+
+        def body(carry, emb_t):
+            state, att_states = carry
+            new_state, prelogit_in, weights, new_att = self._cell_step(
+                constants, state, att_states, emb_t)
+            return (new_state, new_att), (prelogit_in, tuple(weights))
+
+        _, (prelogit_tm, weights_tm) = jax.lax.scan(
+            body, (s0, att0), embedded_tm)
+        prelogit_in = jnp.swapaxes(prelogit_tm, 0, 1)  # (B, T, P)
+        prelogit_in = ctx.dropout(
+            self, prelogit_in, self.dropout_keep_prob, "prelogit_dropout")
+        prelogits = self._prelogit(constants["params"], prelogit_in)
+        weights = tuple(jnp.swapaxes(w, 0, 1) for w in weights_tm)
+        return prelogits, weights
+
+    @tensor
+    def train_logits(self, ctx: Context):
+        prelogits, _ = self.train_outputs(ctx)
+        constants = self._make_constants(ctx)
+        return self._logits(constants, prelogits)
+
+    @tensor
+    def train_attention_weights(self, ctx: Context):
+        _, weights = self.train_outputs(ctx)
+        return weights
+
+    # ------------------------------------------------------------------ #
+    # decode contract (greedy scan in base class; beam search reuses it)
+    # ------------------------------------------------------------------ #
+    def decode_constants(self, ctx: Context):
+        return self._make_constants(ctx)
+
+    def decode_initial_state(self, ctx: Context, constants):
+        return (self.initial_state(ctx),
+                self._att_initial_states(constants))
+
+    def decode_step(self, constants, loop_state, prev_ids, step):
+        del step
+        state, att_states = loop_state
+        embedded_prev = jnp.take(constants["embed_table"], prev_ids,
+                                 axis=0)
+        new_state, prelogit_in, weights, new_att = self._cell_step(
+            constants, state, att_states, embedded_prev)
+        prelogit = self._prelogit(constants["params"], prelogit_in)
+        logits = self._logits(constants, prelogit)
+        aux = {"attention_weights": tuple(weights)}
+        return (new_state, new_att), logits, aux

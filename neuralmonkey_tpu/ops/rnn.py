@@ -1,0 +1,70 @@
+"""Masked recurrent scans over time.
+
+The TPU-native replacement for the reference's
+``tf.nn.bidirectional_dynamic_rnn`` (used by nm/encoders/recurrent.py):
+a ``lax.scan`` over the time axis with mask-gated state carry. Padding
+positions leave the hidden state untouched, so the final carry equals
+the state at each sequence's last real token — no host-side length
+bookkeeping. A fused Pallas scan kernel can be swapped in behind the
+same signature (see ops/pallas_rnn.py).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def unidirectional_rnn(cell, params, inputs: jnp.ndarray,
+                       mask: jnp.ndarray,
+                       reverse: bool = False
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run `cell` over `inputs` (B, T, D) with `mask` (B, T).
+
+    Returns ``(outputs (B, T, H), final_output (B, H))``. With
+    ``reverse=True`` the sequence is processed right-to-left (respecting
+    the mask: trailing padding is skipped by the state gating) and the
+    outputs are returned re-aligned to the original time order.
+    """
+    batch = inputs.shape[0]
+    x_tm = jnp.swapaxes(inputs, 0, 1)          # (T, B, D)
+    m_tm = jnp.swapaxes(mask, 0, 1)[..., None]  # (T, B, 1)
+    if reverse:
+        x_tm = jnp.flip(x_tm, axis=0)
+        m_tm = jnp.flip(m_tm, axis=0)
+
+    init_state = cell.initial_state(batch, inputs.dtype)
+
+    def step(state, xm):
+        x_t, m_t = xm
+        new_state, out = cell(params, state, x_t)
+        # carry previous state through padding positions
+        gated = jax.tree_util.tree_map(
+            lambda new, old: m_t * new + (1.0 - m_t) * old,
+            new_state, state)
+        gated_out = m_t * out
+        return gated, gated_out
+
+    final_state, outputs_tm = jax.lax.scan(step, init_state, (x_tm, m_tm))
+    if reverse:
+        outputs_tm = jnp.flip(outputs_tm, axis=0)
+    outputs = jnp.swapaxes(outputs_tm, 0, 1)
+    return outputs, cell.output(final_state)
+
+
+def bidirectional_rnn(fw_cell, fw_params, bw_cell, bw_params,
+                      inputs: jnp.ndarray, mask: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bidirectional RNN; concatenates directions on the feature axis.
+
+    Returns ``(outputs (B, T, Hf+Hb), final (B, Hf+Hb))``.
+    """
+    fw_out, fw_final = unidirectional_rnn(
+        fw_cell, fw_params, inputs, mask, reverse=False)
+    bw_out, bw_final = unidirectional_rnn(
+        bw_cell, bw_params, inputs, mask, reverse=True)
+    outputs = jnp.concatenate([fw_out, bw_out], axis=-1)
+    final = jnp.concatenate([fw_final, bw_final], axis=-1)
+    return outputs, final

@@ -1,0 +1,320 @@
+"""TPU runtime manager (replaces the reference's TensorFlowManager,
+nm/tf_manager.py; SURVEY.md §2 L1).
+
+Owns the device mesh, parameter/optimizer state, jitted step cache,
+RNG, and checkpointing. What the reference did with N tf.Sessions
+becomes:
+
+- one ``('data',)`` mesh over all local devices — training batches
+  shard over it and XLA inserts the gradient allreduce over ICI from
+  the sharding annotations alone (no NCCL-style calls);
+- jitted train/fetch callables, cached per trainer/runner; XLA's own
+  shape-keyed cache handles the bucketed batch shapes;
+- ``num_sessions > 1`` (checkpoint ensembling) becomes K parameter
+  pytrees; ensemble-aware runners average log-probs inside one jitted
+  decode (see decoders/beam_search_decoder.py).
+
+Config compatibility: accepts (and ignores) the reference's GPU session
+kwargs so existing [tf_manager] sections load unchanged.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .logging import log, warn
+from .model.part import Context, ModelPart, collect_parts, init_all_params
+from .runners.base_runner import ExecutionResult, reduce_execution_results
+from .utils.batching import pad_batch
+from .utils.saving import (flatten_tree, load_flat, load_meta,
+                           restore_into, save_tree)
+
+
+class TPUManager:
+
+    def __init__(self,
+                 num_sessions: int = 1,
+                 num_threads: int = 0,
+                 save_n_best: int = 1,
+                 max_to_keep: int = 3,
+                 minimize_metric: bool = False,
+                 gpu_allow_growth: bool = True,
+                 per_process_gpu_memory_fraction: float = 1.0,
+                 report_gpu_memory_consumption: bool = False,
+                 enable_tf_debug: bool = False,
+                 random_seed: int = None) -> None:
+        del (num_threads, gpu_allow_growth,
+             per_process_gpu_memory_fraction,
+             report_gpu_memory_consumption, enable_tf_debug)
+        if num_sessions < 1:
+            raise ValueError("num_sessions must be >= 1")
+        self.num_sessions = num_sessions
+        self.save_n_best = max(save_n_best, 1)
+        self.max_to_keep = max(max_to_keep, self.save_n_best)
+        self.minimize_metric = minimize_metric
+
+        devices = jax.devices()
+        self.mesh = jax.sharding.Mesh(
+            np.array(devices), axis_names=("data",))
+        self.n_devices = len(devices)
+        log(f"TPUManager: {self.n_devices} device(s) "
+            f"[{devices[0].platform}], mesh axes ('data',)")
+
+        self.replicated = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec())
+        self.data_sharded = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec("data"))
+
+        self.parts: List[ModelPart] = []
+        # params_list: K parameter pytrees (K>1 = checkpoint ensemble)
+        self.params_list: List[Any] = []
+        self.global_step = 0
+        self.epoch = 0
+        self.best_score: Optional[float] = None
+        self.best_score_step = 0
+        self.best_score_epoch = 0
+        self._rng = jax.random.PRNGKey(random_seed or 0)
+
+        self._train_fns: Dict[int, Callable] = {}
+        self._opt_states: Dict[int, Any] = {}
+        self._opt_templates: Dict[int, Any] = {}
+        self._fetch_fns: Dict[int, Callable] = {}
+        self._checkpoint_paths: List[str] = []
+
+    # ------------------------------------------------------------------ #
+    # model lifecycle
+    # ------------------------------------------------------------------ #
+    @property
+    def params(self):
+        return self.params_list[0]
+
+    def initialize_model_parts(self, roots: Sequence[Any],
+                               seed: int = None) -> None:
+        """Collect parts reachable from trainers/runners, init params."""
+        self.parts = collect_parts(roots)
+        if seed is not None:
+            self._rng = jax.random.PRNGKey(seed)
+        self._rng, init_rng = jax.random.split(self._rng)
+        params = init_all_params(self.parts, init_rng)
+        params = jax.device_put(params, self.replicated)
+        self.params_list = [params]
+        total = sum(
+            int(np.prod(x.shape))
+            for x in jax.tree_util.tree_leaves(params))
+        log(f"Initialized {len(self.parts)} model parts, "
+            f"{total:,} parameters")
+        # per-part warm starts (reference's ModelPart.load_checkpoint)
+        for part in self.parts:
+            if part.load_checkpoint:
+                self.load_part_checkpoint(part, part.load_checkpoint)
+
+    def load_part_checkpoint(self, part: ModelPart, path: str) -> None:
+        flat = load_flat(path)
+        key = part.param_key
+        template = self.params_list[0][key]
+        prefix = f"{key}/"
+        sub = {k: v for k, v in flat.items() if k.startswith(prefix)}
+        if not sub:  # allow part-local checkpoints without the prefix
+            sub = {prefix + k: v for k, v in flat.items()}
+        restored = restore_into(template, sub, prefix=prefix)
+        new_params = dict(self.params_list[0])
+        new_params[key] = restored
+        self.params_list[0] = jax.device_put(new_params, self.replicated)
+        log(f"Part '{part.name}' warm-started from {path}")
+
+    # ------------------------------------------------------------------ #
+    # batches
+    # ------------------------------------------------------------------ #
+    def build_batch(self, dataset, batch_size: int, train: bool = False):
+        """Featurize all parts, pad to static shapes, move to device.
+
+        Returns (device_batch, real_size)."""
+        features: Dict[str, np.ndarray] = {}
+        for part in self.parts:
+            features.update(part.featurize(dataset, train=train))
+        padded, real_size = pad_batch(features, batch_size)
+        shard = (self.data_sharded
+                 if batch_size % self.n_devices == 0 else self.replicated)
+        device_batch = {
+            key: jax.device_put(value, shard)
+            for key, value in padded.items()}
+        return device_batch, real_size
+
+    # ------------------------------------------------------------------ #
+    # training
+    # ------------------------------------------------------------------ #
+    def _get_train_fn(self, trainer):
+        key = id(trainer)
+        if key not in self._train_fns:
+            tx = trainer.make_optax()
+
+            def step_fn(params, opt_state, batch, rng):
+                def loss_fn(p):
+                    return trainer.total_loss(p, batch, rng)
+                (total, losses), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                grads = trainer.mask_frozen_grads(grads)
+                grad_norm = optax.global_norm(grads)
+                updates, new_opt_state = tx.update(
+                    grads, opt_state, params)
+                new_params = optax.apply_updates(params, updates)
+                losses = dict(losses)
+                losses["loss"] = total
+                losses["grad_norm"] = grad_norm
+                return new_params, new_opt_state, losses
+
+            self._train_fns[key] = jax.jit(
+                step_fn, donate_argnums=(0, 1))
+            opt_state = tx.init(self.params_list[0])
+            self._opt_states[key] = jax.device_put(
+                opt_state, self.replicated)
+        return self._train_fns[key], key
+
+    def train_on_batch(self, trainer, dataset_batch,
+                       batch_size: int) -> Dict[str, float]:
+        """One training step (reference: execute with train=True)."""
+        from .trainers.multitask_trainer import MultitaskTrainer
+        if isinstance(trainer, MultitaskTrainer):
+            trainer = trainer.select(self.global_step)
+        step_fn, key = self._get_train_fn(trainer)
+        batch, _ = self.build_batch(dataset_batch, batch_size, train=True)
+        step_rng = jax.random.fold_in(self._rng, self.global_step)
+        new_params, new_opt_state, losses = step_fn(
+            self.params_list[0], self._opt_states[key], batch, step_rng)
+        self.params_list[0] = new_params
+        self._opt_states[key] = new_opt_state
+        self.global_step += 1
+        return {name: float(value) for name, value in losses.items()}
+
+    # ------------------------------------------------------------------ #
+    # inference
+    # ------------------------------------------------------------------ #
+    def _get_fetch_fn(self, runner):
+        key = id(runner)
+        if key not in self._fetch_fns:
+            def fetch_fn(params_list, batch):
+                if len(params_list) == 1 or not hasattr(
+                        runner, "ensemble_fetches"):
+                    ctx = Context(params_list[0], batch, train=False)
+                    return runner.fetches(ctx)
+                return runner.ensemble_fetches(params_list, batch)
+            self._fetch_fns[key] = jax.jit(fetch_fn)
+        return self._fetch_fns[key]
+
+    def run_on_batch(self, runners, dataset_batch, batch_size: int
+                     ) -> List[ExecutionResult]:
+        batch, real_size = self.build_batch(
+            dataset_batch, batch_size, train=False)
+        results = []
+        for runner in runners:
+            fetch_fn = self._get_fetch_fn(runner)
+            fetched = fetch_fn(self.params_list, batch)
+            fetched = jax.tree_util.tree_map(np.asarray, fetched)
+            results.append(runner.collect_results(fetched, real_size))
+        return results
+
+    def execute(self, dataset, execution_scripts,
+                batch_size: int,
+                train: bool = False,
+                batching_scheme=None) -> List[ExecutionResult]:
+        """Reference-compatible batched execution over a dataset."""
+        from .dataset import BatchingScheme
+        scheme = batching_scheme or BatchingScheme(batch_size=batch_size)
+        per_script: List[List[ExecutionResult]] = [
+            [] for _ in execution_scripts]
+        for batch in dataset.batches(scheme):
+            if train:
+                for i, script in enumerate(execution_scripts):
+                    losses = self.train_on_batch(
+                        script, batch, batch_size)
+                    per_script[i].append(ExecutionResult(
+                        outputs=[], losses=losses, size=len(batch)))
+            else:
+                results = self.run_on_batch(
+                    execution_scripts, batch, batch_size)
+                for i, result in enumerate(results):
+                    per_script[i].append(result)
+        return [reduce_execution_results(results)
+                for results in per_script]
+
+    # ------------------------------------------------------------------ #
+    # checkpoints (reference: tf.train.Saver + best-link semantics)
+    # ------------------------------------------------------------------ #
+    def save(self, path: str, step: int = None) -> str:
+        step = step if step is not None else self.global_step
+        ckpt_path = f"{path}-{step}"
+        save_tree(ckpt_path, self.params_list[0],
+                  meta={"step": step, "epoch": self.epoch,
+                        "best_score": self.best_score})
+        self._checkpoint_paths.append(ckpt_path)
+        while len(self._checkpoint_paths) > self.max_to_keep:
+            stale = self._checkpoint_paths.pop(0)
+            link = path + ".best"
+            is_best = (os.path.islink(link)
+                       and os.path.realpath(link)
+                       == os.path.realpath(stale))
+            if not is_best and os.path.exists(stale):
+                os.remove(stale)
+                for suffix in (".meta.json",):
+                    if os.path.exists(stale + suffix):
+                        os.remove(stale + suffix)
+        log(f"Checkpoint saved to {ckpt_path}")
+        return ckpt_path
+
+    def save_optimizer_state(self, path: str) -> None:
+        for key, opt_state in self._opt_states.items():
+            save_tree(f"{path}.opt", opt_state)
+            break  # single-trainer continuation support
+
+    def restore(self, paths) -> None:
+        """Restore parameters. A list of paths => checkpoint ensemble."""
+        if isinstance(paths, str):
+            paths = [paths]
+        template = self.params_list[0]
+        self.params_list = []
+        for path in paths:
+            flat = load_flat(path)
+            params = restore_into(template, flat)
+            self.params_list.append(
+                jax.device_put(params, self.replicated))
+            log(f"Restored variables from {path}")
+        meta = load_meta(paths[0])
+        if meta:
+            self.global_step = meta.get("step", self.global_step)
+
+    def restore_best_vars(self, output_dir: str,
+                          link_name: str = "variables.data.best") -> None:
+        self.restore([os.path.join(output_dir, link_name)])
+
+    def validation_hook(self, score: float, step: int,
+                        epoch: int, path: str) -> bool:
+        """Track the best main-metric score; update the .best link.
+        Returns True if this score is a new best."""
+        is_better = (self.best_score is None
+                     or (score < self.best_score if self.minimize_metric
+                         else score > self.best_score))
+        if is_better:
+            self.best_score = score
+            self.best_score_step = step
+            self.best_score_epoch = epoch
+            ckpt_path = self.save(path, step=step)
+            link = path + ".best"
+            tmp_link = link + ".tmp"
+            if os.path.lexists(tmp_link):
+                os.remove(tmp_link)
+            os.symlink(os.path.basename(ckpt_path), tmp_link)
+            os.replace(tmp_link, link)
+            log(f"New best score {score:.4g}; {link} -> {ckpt_path}",
+                color="green")
+        return is_better
+
+    def initialize_vars_from(self, path: str) -> None:
+        """[main] initial_variables support."""
+        self.restore(path)

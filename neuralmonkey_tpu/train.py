@@ -1,0 +1,35 @@
+"""Training CLI (reference nm/train.py + bin/neuralmonkey-train).
+
+Usage: python -m neuralmonkey_tpu.train exp.ini [section.key=value ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .experiment import Experiment
+from .logging import log
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="neuralmonkey-train",
+        description="Train a model from an INI experiment file.")
+    parser.add_argument("config", help="experiment INI file")
+    parser.add_argument("overrides", nargs="*",
+                        help="section.key=value config overrides")
+    parser.add_argument("--overwrite", "-f", action="store_true",
+                        help="overwrite the output directory")
+    args = parser.parse_args(argv)
+
+    exp = Experiment(args.config, train_mode=True,
+                     overwrite_output_dir=args.overwrite,
+                     config_changes=args.overrides)
+    exp.train()
+    log("Done.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,6 +1,12 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so
 multi-chip sharding paths are exercised without TPU hardware
-(SURVEY.md §5: rebuild test plan)."""
+(SURVEY.md §5: rebuild test plan).
+
+Note: this environment's sitecustomize force-registers the axon TPU
+plugin at interpreter start, so setting JAX_PLATFORMS in os.environ here
+is too late — we must update jax.config directly (no backend has been
+initialized yet when conftest runs).
+"""
 
 import os
 import sys
@@ -10,5 +16,9 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,220 @@
+"""Model-part tests: shapes, interfaces, param sharing, decoder paths
+(mirrors reference test_encoders_init.py / test_decoder.py /
+test_model_part.py intent)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralmonkey_tpu.dataset import Dataset
+from neuralmonkey_tpu.model.part import (Context, collect_parts,
+                                         init_all_params)
+from neuralmonkey_tpu.model.sequence import (EmbeddedFactorSequence,
+                                             EmbeddedSequence)
+from neuralmonkey_tpu.models.attention.feed_forward import (
+    Attention, CoverageAttention)
+from neuralmonkey_tpu.models.attention.scaled_dot_product import \
+    ScaledDotProdAttention
+from neuralmonkey_tpu.models.decoders.decoder import Decoder
+from neuralmonkey_tpu.models.encoders.recurrent import (FactoredEncoder,
+                                                        SentenceEncoder)
+from neuralmonkey_tpu.vocabulary import END_TOKEN_INDEX, Vocabulary
+
+SRC = [["a", "b", "c"], ["b", "c"], ["a"]]
+TGT = [["x", "y"], ["y", "y", "x"], ["x"]]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    vs = Vocabulary()
+    vt = Vocabulary()
+    for s in SRC:
+        vs.add_tokenized_text(s)
+    for t in TGT:
+        vt.add_tokenized_text(t)
+    ds = Dataset("toy", {"source": SRC, "target": TGT})
+    return vs, vt, ds
+
+
+def _build(parts, ds, train=False, rng=None):
+    all_parts = collect_parts(parts)
+    params = init_all_params(all_parts, jax.random.PRNGKey(0))
+    batch = {}
+    for p in all_parts:
+        batch.update(p.featurize(ds, train=train))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    return Context(params, batch, train=train, rng=rng), params
+
+
+def test_embedded_sequence(setup):
+    vs, _, ds = setup
+    seq = EmbeddedSequence(name="seq", vocabulary=vs, data_id="source",
+                           embedding_size=6)
+    ctx, _ = _build([seq], ds)
+    states = seq.temporal_states(ctx)
+    mask = seq.temporal_mask(ctx)
+    assert states.shape == (3, 3, 6)
+    assert mask.shape == (3, 3)
+    assert mask[1, 2] == 0.0  # padding masked
+
+
+def test_factor_sequence(setup):
+    vs, vt, ds2 = setup
+    ds = Dataset("f", {"w": SRC, "t": SRC})
+    seq = EmbeddedFactorSequence(
+        name="fseq", vocabularies=[vs, vs], data_ids=["w", "t"],
+        embedding_sizes=[4, 2])
+    ctx, _ = _build([seq], ds)
+    assert seq.temporal_states(ctx).shape == (3, 3, 6)
+    assert seq.state_dim == 6
+
+
+def test_sentence_encoder_shapes(setup):
+    vs, _, ds = setup
+    enc = SentenceEncoder(name="enc", vocabulary=vs, data_id="source",
+                          embedding_size=6, rnn_size=5)
+    ctx, _ = _build([enc], ds)
+    assert enc.temporal_states(ctx).shape == (3, 3, 10)  # bidi 2*5
+    assert enc.output(ctx).shape == (3, 10)
+    assert enc.output_dim == 10
+
+
+def test_unidirectional_encoder(setup):
+    vs, _, ds = setup
+    enc = SentenceEncoder(name="enc_f", vocabulary=vs, data_id="source",
+                          embedding_size=6, rnn_size=5,
+                          rnn_direction="forward", rnn_cell="LSTM")
+    ctx, _ = _build([enc], ds)
+    assert enc.temporal_states(ctx).shape == (3, 3, 5)
+    assert enc.output_dim == 5
+
+
+def test_encoder_padding_invariance(setup):
+    """Extra padding must not change encoder outputs (static-shape
+    bucketing correctness, SURVEY.md §8.3 item 2)."""
+    vs, _, _ = setup
+    enc = SentenceEncoder(name="enc", vocabulary=vs, data_id="source",
+                          embedding_size=6, rnn_size=5)
+    parts = collect_parts([enc])
+    params = init_all_params(parts, jax.random.PRNGKey(0))
+
+    ids, mask = vs.sentences_to_tensor(SRC)
+    batch1 = {"enc_input.ids": jnp.asarray(ids),
+              "enc_input.mask": jnp.asarray(mask)}
+    pad = np.zeros((3, 4), np.int32)
+    batch2 = {
+        "enc_input.ids": jnp.asarray(np.concatenate([ids, pad], 1)),
+        "enc_input.mask": jnp.asarray(
+            np.concatenate([mask, pad.astype(np.float32)], 1))}
+    out1 = enc.output(Context(params, batch1))
+    out2 = enc.output(Context(params, batch2))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               atol=1e-5)
+
+
+def test_attention_weights_masked(setup):
+    vs, vt, ds = setup
+    enc = SentenceEncoder(name="enc", vocabulary=vs, data_id="source",
+                          embedding_size=6, rnn_size=5)
+    att = Attention(name="att", encoder=enc)
+    att.register_query_dim(7)
+    ctx, params = _build([enc, att], ds)
+    constants = att.precompute(ctx)
+    query = jnp.ones((3, 7))
+    context_vec, weights = att.step(params["att"], constants, query)
+    assert context_vec.shape == (3, 10)
+    assert weights.shape == (3, 3)
+    w = np.asarray(weights)
+    np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-5)
+    assert w[1, 2] == 0.0  # masked position gets zero weight
+    assert w[2, 1] == 0.0
+
+
+def test_scaled_dot_attention(setup):
+    vs, _, ds = setup
+    enc = SentenceEncoder(name="enc", vocabulary=vs, data_id="source",
+                          embedding_size=6, rnn_size=5)
+    att = ScaledDotProdAttention(name="sdp", keys_encoder=enc)
+    att.register_query_dim(4)  # != key dim -> projection
+    ctx, params = _build([enc, att], ds)
+    constants = att.precompute(ctx)
+    context_vec, weights = att.step(params["sdp"], constants,
+                                    jnp.ones((3, 4)))
+    assert context_vec.shape == (3, 10)
+    np.testing.assert_allclose(
+        np.asarray(weights).sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_decoder_train_and_greedy(setup):
+    vs, vt, ds = setup
+    enc = SentenceEncoder(name="enc", vocabulary=vs, data_id="source",
+                          embedding_size=6, rnn_size=5)
+    att = Attention(name="att", encoder=enc)
+    dec = Decoder(name="dec", vocabulary=vt, data_id="target",
+                  max_output_len=4, rnn_size=7, encoders=[enc],
+                  attentions=[att], embedding_size=6)
+    ctx, params = _build([dec], ds, train=True,
+                         rng=jax.random.PRNGKey(1))
+    logits = dec.train_logits(ctx)
+    assert logits.shape == (3, 4, len(vt))  # T=max_target_len+1 capped
+    loss = dec.train_loss(ctx)
+    assert np.isfinite(float(loss))
+
+    ctx_eval = Context(params, ctx.batch, train=False)
+    _, decoded, aux = dec.greedy_outputs(ctx_eval)
+    assert decoded.shape == (3, 4)
+    assert aux["attention_weights"][0].shape[0] == 4  # (T, B, Tsrc)
+
+
+def test_decoder_conditional_gru(setup):
+    vs, vt, ds = setup
+    enc = SentenceEncoder(name="enc", vocabulary=vs, data_id="source",
+                          embedding_size=6, rnn_size=5)
+    att = Attention(name="att", encoder=enc)
+    dec = Decoder(name="dec", vocabulary=vt, data_id="target",
+                  max_output_len=4, rnn_size=7, encoders=[enc],
+                  attentions=[att], embedding_size=6,
+                  conditional_gru=True)
+    ctx, _ = _build([dec], ds, train=True, rng=jax.random.PRNGKey(1))
+    assert np.isfinite(float(dec.train_loss(ctx)))
+
+
+def test_decoder_coverage_attention(setup):
+    vs, vt, ds = setup
+    enc = SentenceEncoder(name="enc", vocabulary=vs, data_id="source",
+                          embedding_size=6, rnn_size=5)
+    att = CoverageAttention(name="cov", encoder=enc)
+    dec = Decoder(name="dec", vocabulary=vt, data_id="target",
+                  max_output_len=4, rnn_size=7, encoders=[enc],
+                  attentions=[att], embedding_size=6)
+    ctx, _ = _build([dec], ds, train=True, rng=jax.random.PRNGKey(1))
+    assert np.isfinite(float(dec.train_loss(ctx)))
+
+
+def test_param_sharing_via_reuse(setup):
+    vs, _, ds = setup
+    enc1 = SentenceEncoder(name="e1", vocabulary=vs, data_id="source",
+                           embedding_size=6, rnn_size=5)
+    enc2 = SentenceEncoder(name="e2", vocabulary=vs, data_id="source",
+                           embedding_size=6, rnn_size=5, reuse=enc1)
+    parts = collect_parts([enc1, enc2])
+    params = init_all_params(parts, jax.random.PRNGKey(0))
+    assert "e1" in params
+    assert "e2" not in params  # shares e1's params
+    assert enc2.param_key == "e1"
+
+
+def test_embeddings_shared_with_decoder(setup):
+    vs, vt, ds = setup
+    seq = EmbeddedSequence(name="tgt_emb", vocabulary=vt,
+                           data_id="target", embedding_size=6)
+    dec = Decoder(name="dec", vocabulary=vt, data_id="target",
+                  max_output_len=4, rnn_size=7, embeddings_source=seq,
+                  tie_embeddings=True, output_projection="mlp")
+    parts = collect_parts([dec])
+    names = {p.name for p in parts}
+    assert "tgt_emb" in names
+    assert "dec_embeddings" not in names
+    params = init_all_params(parts, jax.random.PRNGKey(0))
+    assert "logit" not in params["dec"]  # tied => no separate logit W
