@@ -1,0 +1,214 @@
+"""Headline benchmark: decoded sentences/sec/chip at beam=10.
+
+Measures the BASELINE.json north-star metric on a production-shaped MT
+model (30k vocab, 512-dim embeddings, 512-unit BiGRU encoder + Bahdanau
+attention decoder). The TPU path runs the whole beam search as one
+jitted ``lax.while_loop`` on device; the baseline denominator is a
+faithful emulation of the reference's Python beam-search runner
+(nm/runners/beam_search_runner.py semantics: one device call per decode
+step, top-k + beam reordering on the host) executed on this host's CPU,
+since the TF1 reference itself cannot run here (SURVEY.md §0, §7).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+# model / workload shape (overridable for smoke tests)
+VOCAB = int(os.environ.get("BENCH_VOCAB", 30000))
+EMB = int(os.environ.get("BENCH_EMB", 512))
+RNN = int(os.environ.get("BENCH_RNN", 512))
+BATCH = int(os.environ.get("BENCH_BATCH", 64))
+SRC_LEN = int(os.environ.get("BENCH_SRC_LEN", 32))
+BEAM = int(os.environ.get("BENCH_BEAM", 10))
+MAX_OUT = int(os.environ.get("BENCH_MAX_OUT", 48))
+TPU_REPEATS = int(os.environ.get("BENCH_REPEATS", 5))
+CPU_BATCH = int(os.environ.get("BENCH_CPU_BATCH", 8))
+
+
+def build(batch_size: int):
+    import jax
+    import jax.numpy as jnp
+    from neuralmonkey_tpu.vocabulary import Vocabulary
+    from neuralmonkey_tpu.models.encoders.recurrent import SentenceEncoder
+    from neuralmonkey_tpu.models.attention.feed_forward import Attention
+    from neuralmonkey_tpu.models.decoders.decoder import Decoder
+    from neuralmonkey_tpu.models.decoders.beam_search_decoder import \
+        BeamSearchDecoder
+    from neuralmonkey_tpu.model.part import (Context, collect_parts,
+                                             init_all_params)
+
+    vs, vt = Vocabulary(), Vocabulary()
+    # vocabulary objects only size the embedding tables here
+    for v in (vs, vt):
+        v.index_to_word = v.index_to_word + [
+            f"w{i}" for i in range(VOCAB - 4)]
+        v.word_to_index = {t: i for i, t in enumerate(v.index_to_word)}
+
+    enc = SentenceEncoder(name="encoder", vocabulary=vs,
+                          data_id="source", embedding_size=EMB,
+                          rnn_size=RNN)
+    att = Attention(name="attention", encoder=enc, state_size=RNN)
+    dec = Decoder(name="decoder", vocabulary=vt, data_id="target",
+                  max_output_len=MAX_OUT, rnn_size=RNN, encoders=[enc],
+                  attentions=[att], embedding_size=EMB,
+                  conditional_gru=True)
+    bs = BeamSearchDecoder(name="bs", parent_decoder=dec,
+                           beam_size=BEAM, length_normalization=0.6)
+    parts = collect_parts([dec])
+    params = init_all_params(parts, jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "encoder_input.ids": jnp.asarray(
+            rng.randint(4, VOCAB, size=(batch_size, SRC_LEN)),
+            jnp.int32),
+        "encoder_input.mask": jnp.ones((batch_size, SRC_LEN),
+                                       jnp.float32),
+    }
+    return enc, dec, bs, params, batch, Context
+
+
+def tpu_throughput() -> float:
+    """Whole search jitted on device."""
+    import jax
+    enc, dec, bs, params, batch, Context = build(BATCH)
+
+    @jax.jit
+    def search(p, b):
+        return bs.search(Context(p, b, train=False)).token_ids
+
+    ids = search(params, batch)  # compile
+    jax.block_until_ready(ids)
+
+    start = time.perf_counter()
+    total = 0
+    for _ in range(TPU_REPEATS):
+        ids = search(params, batch)
+        jax.block_until_ready(ids)
+        total += BATCH
+    elapsed = time.perf_counter() - start
+    # include host postprocessing (ids -> tokens) as BASELINE.md demands
+    _ = dec.vocabulary.vectors_to_sentences(np.asarray(ids)[:, 0, :])
+    return total / elapsed
+
+
+def cpu_reference_throughput() -> float:
+    """Reference emulation: per-step device call, host-side beam logic.
+
+    Mirrors SURVEY.md §4.4: every decode step crosses the host↔device
+    boundary; top-k selection and SearchState reordering happen in
+    numpy on the host, exactly like the reference runner."""
+    import jax
+    import jax.numpy as jnp
+    enc, dec, bs, params, batch, Context = build(CPU_BATCH)
+
+    ctx = Context(params, batch, train=False)
+    constants = jax.jit(
+        lambda p, b: dec.decode_constants(
+            Context(p, b, train=False)))(params, batch)
+    init_state = jax.jit(
+        lambda p, b: dec.decode_initial_state(
+            Context(p, b, train=False),
+            dec.decode_constants(Context(p, b, train=False)))
+    )(params, batch)
+
+    tiled_constants = dec.tile_decode_constants(constants, BEAM)
+    state = jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x, BEAM, axis=0), init_state)
+
+    @jax.jit
+    def step_fn(state, prev_ids):
+        new_state, logits, _ = dec.decode_step(
+            tiled_constants, state, prev_ids, 0)
+        return new_state, jax.nn.log_softmax(logits, axis=-1)
+
+    # python-side beam state (the reference's SearchState)
+    B = CPU_BATCH
+    logprob = np.full((B, BEAM), -1e9)
+    logprob[:, 0] = 0.0
+    lengths = np.zeros((B, BEAM), np.int64)
+    finished = np.zeros((B, BEAM), bool)
+    tokens_hist = np.zeros((B, BEAM, MAX_OUT), np.int64)
+    prev = np.full((B * BEAM,), 1, np.int64)  # <s>
+
+    start = time.perf_counter()
+    for t in range(MAX_OUT):
+        state, logprobs_dev = step_fn(state, jnp.asarray(prev))
+        lp = np.array(logprobs_dev).reshape(B, BEAM, VOCAB)  # host copy
+        lp[finished] = -1e9
+        lp[finished, 0] = 0.0
+        total = logprob[..., None] + lp
+        new_len = lengths + (~finished).astype(np.int64)
+        penal = ((5.0 + new_len) / 6.0) ** 0.6
+        normed = (total / penal[..., None]).reshape(B, BEAM * VOCAB)
+        top_idx = np.argsort(-normed, axis=1)[:, :BEAM]
+        parents = top_idx // VOCAB
+        toks = top_idx % VOCAB
+        # reorder host state
+        bidx = np.arange(B)[:, None]
+        logprob = np.take_along_axis(
+            total.reshape(B, BEAM * VOCAB), top_idx, axis=1)
+        old_fin = finished[bidx, parents]
+        lengths = lengths[bidx, parents] + (~old_fin).astype(np.int64)
+        tokens_hist = tokens_hist[bidx, parents]
+        emit = np.where(old_fin, 0, toks)
+        tokens_hist[:, :, t] = emit
+        finished = old_fin | (emit == 2)
+        # reorder device state (gather on device, like the reference's
+        # feed of reordered beam state)
+        flat = (parents + np.arange(B)[:, None] * BEAM).reshape(-1)
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.take(x, jnp.asarray(flat), axis=0), state)
+        prev = emit.reshape(-1)
+        if finished.all():
+            break
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - start
+    _ = dec.vocabulary.vectors_to_sentences(tokens_hist[:, 0, :])
+    return B / elapsed
+
+
+def main() -> None:
+    if "--cpu-baseline" in sys.argv:
+        print(json.dumps({"cpu_sentences_per_sec":
+                          cpu_reference_throughput()}))
+        return
+
+    # CPU baseline in a subprocess with the TPU plugin disabled
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)), timeout=3600)
+    cpu_rate = None
+    for line in proc.stdout.splitlines():
+        try:
+            cpu_rate = json.loads(line)["cpu_sentences_per_sec"]
+        except (json.JSONDecodeError, KeyError):
+            continue
+    if cpu_rate is None:
+        sys.stderr.write(proc.stdout + "\n" + proc.stderr + "\n")
+        raise RuntimeError("CPU baseline failed")
+
+    tpu_rate = tpu_throughput()
+    print(json.dumps({
+        "metric": "beam10_decoded_sentences_per_sec_per_chip",
+        "value": round(tpu_rate, 2),
+        "unit": "sentences/sec/chip",
+        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

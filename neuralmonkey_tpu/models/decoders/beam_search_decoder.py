@@ -1,0 +1,248 @@
+"""On-device beam search (reference nm/decoders/beam_search_decoder.py).
+
+The reference stepped the beam from Python, one ``session.run`` per
+decode step (SURVEY.md §4.4) — the #1 performance target of this
+rebuild. Here the whole search is a single jitted ``lax.while_loop``:
+
+- batch×beam flattened to one leading axis so the parent decoder's
+  ``decode_step`` runs all beams in one MXU-friendly batch;
+- per-step: log-softmax + Wu et al. (2016) length penalty → top-k over
+  (beam·vocab) → gather-based reorder of the whole loop-state pytree by
+  parent indices (static shapes, finished-beam masking — SURVEY.md
+  §8.3 item 1);
+- early exit when every hypothesis has finished (while_loop, not scan,
+  so short batches don't pay for max_steps);
+- checkpoint ensembling: E parameter sets are vmapped through the
+  parent step inside the same jit and their distributions averaged —
+  the reference's multi-session logit averaging without K processes
+  (SURVEY.md §8.3 item 5).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...model.part import Context, ModelPart
+from ...vocabulary import END_TOKEN_INDEX, PAD_TOKEN_INDEX, START_TOKEN_INDEX
+from .autoregressive import AutoregressiveDecoder
+
+NEG_INF = -1e9
+
+
+class SearchState(NamedTuple):
+    """Per-(batch, beam) search bookkeeping (reference's SearchState)."""
+    logprob_sum: jnp.ndarray   # (B, K) raw summed log-probs
+    lengths: jnp.ndarray       # (B, K) int32, tokens emitted (incl </s>)
+    finished: jnp.ndarray      # (B, K) bool
+    token_ids: jnp.ndarray     # (B, K, L) int32 emitted tokens
+
+
+class BeamSearchOutput(NamedTuple):
+    token_ids: jnp.ndarray     # (B, K, L) sorted best-first
+    lengths: jnp.ndarray       # (B, K)
+    scores: jnp.ndarray        # (B, K) length-normalized
+
+
+def length_penalty(lengths, alpha: float):
+    """Wu et al. (2016) GNMT length normalization."""
+    if alpha == 0.0:
+        return jnp.ones_like(lengths, jnp.float32)
+    return jnp.power((5.0 + lengths.astype(jnp.float32)) / 6.0, alpha)
+
+
+def _tile_beam(tree, beam_size: int):
+    """Repeat every array's batch axis K times: (B, ...) -> (B*K, ...)."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x, beam_size, axis=0), tree)
+
+
+def _gather_beams(tree, parents, batch: int, beam: int):
+    """Reorder flattened (B*K, ...) state by per-batch parent indices
+    (B, K)."""
+    offsets = (jnp.arange(batch, dtype=jnp.int32) * beam)[:, None]
+    flat_idx = (offsets + parents).reshape(-1)  # (B*K,)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.take(x, flat_idx, axis=0), tree)
+
+
+class BeamSearchDecoder(ModelPart):
+
+    def __init__(self, name: str,
+                 parent_decoder: AutoregressiveDecoder,
+                 beam_size: int,
+                 length_normalization: float = 0.6,
+                 max_steps: int = None,
+                 reuse: ModelPart = None,
+                 save_checkpoint: str = None,
+                 load_checkpoint: str = None) -> None:
+        ModelPart.__init__(self, name, reuse, save_checkpoint,
+                           load_checkpoint)
+        self.parent_decoder = parent_decoder
+        self.beam_size = beam_size
+        self.length_normalization = length_normalization
+        self.max_steps = max_steps or parent_decoder.max_output_len
+
+    @property
+    def vocabulary(self):
+        return self.parent_decoder.vocabulary
+
+    def init_params(self, rng):
+        return {}  # wraps the parent's parameters
+
+    # ------------------------------------------------------------------ #
+    def search(self, ctx: Context) -> BeamSearchOutput:
+        """Single-model beam search."""
+        parent = self.parent_decoder
+        constants = parent.decode_constants(ctx)
+        init_state = parent.decode_initial_state(ctx, constants)
+        batch = parent._batch_size(ctx)
+        return self._search_impl(
+            [constants], [init_state], batch)
+
+    def ensemble_search(self, contexts: List[Context]) -> BeamSearchOutput:
+        """Beam search averaging E models' distributions."""
+        parent = self.parent_decoder
+        constants = [parent.decode_constants(c) for c in contexts]
+        states = [parent.decode_initial_state(c, k)
+                  for c, k in zip(contexts, constants)]
+        batch = parent._batch_size(contexts[0])
+        return self._search_impl(constants, states, batch)
+
+    # ------------------------------------------------------------------ #
+    def _search_impl(self, constants_list, init_states, batch: int
+                     ) -> BeamSearchOutput:
+        parent = self.parent_decoder
+        beam = self.beam_size
+        vocab = len(parent.vocabulary)
+        max_steps = self.max_steps
+        n_models = len(constants_list)
+
+        # tile constants/states to batch*beam (the parent knows which
+        # constants carry a batch axis — parameters must not be tiled)
+        tiled_constants = [
+            parent.tile_decode_constants(c, beam)
+            for c in constants_list]
+        tiled_states = [_tile_beam(s, beam) for s in init_states]
+        if n_models > 1:
+            stacked_constants = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *tiled_constants)
+            stacked_states = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *tiled_states)
+        else:
+            stacked_constants = tiled_constants[0]
+            stacked_states = tiled_states[0]
+
+        # beam 0 live, others dead (standard first-step trick)
+        logprob0 = jnp.tile(
+            jnp.concatenate(
+                [jnp.zeros((1,)), jnp.full((beam - 1,), NEG_INF)]
+            )[None, :], (batch, 1))
+        search0 = SearchState(
+            logprob_sum=logprob0,
+            lengths=jnp.zeros((batch, beam), jnp.int32),
+            finished=jnp.zeros((batch, beam), bool),
+            token_ids=jnp.full((batch, beam, max_steps),
+                               PAD_TOKEN_INDEX, jnp.int32))
+        prev_ids0 = jnp.full((batch * beam,), START_TOKEN_INDEX,
+                             jnp.int32)
+
+        def model_logprobs(model_states, prev_ids, step):
+            """Averaged next-token log-probs over the ensemble."""
+            if n_models == 1:
+                new_states, logits, _ = parent.decode_step(
+                    stacked_constants, model_states, prev_ids, step)
+                return new_states, jax.nn.log_softmax(logits, axis=-1)
+            def one(c, s):
+                new_s, logits, _ = parent.decode_step(
+                    c, s, prev_ids, step)
+                return new_s, jax.nn.log_softmax(logits, axis=-1)
+            new_states, logprobs = jax.vmap(one)(
+                stacked_constants, model_states)
+            # arithmetic mean of probabilities, numerically stable
+            avg = jax.nn.logsumexp(logprobs, axis=0) - jnp.log(n_models)
+            return new_states, avg
+
+        def cond(carry):
+            step, _, _, search, _ = carry
+            return jnp.logical_and(step < max_steps,
+                                   ~jnp.all(search.finished))
+
+        def body(carry):
+            step, model_states, prev_ids, search, _ = carry
+            new_model_states, logprobs = model_logprobs(
+                model_states, prev_ids, step)
+            logprobs = logprobs.reshape(batch, beam, vocab)
+
+            # finished beams may only emit PAD at zero cost
+            pad_only = jnp.full((vocab,), NEG_INF).at[
+                PAD_TOKEN_INDEX].set(0.0)
+            logprobs = jnp.where(search.finished[..., None],
+                                 pad_only[None, None, :], logprobs)
+
+            total = search.logprob_sum[..., None] + logprobs
+            new_lengths = search.lengths + (~search.finished).astype(
+                jnp.int32)
+            normed = total / length_penalty(
+                new_lengths, self.length_normalization)[..., None]
+
+            flat_scores = normed.reshape(batch, beam * vocab)
+            top_scores, top_idx = jax.lax.top_k(flat_scores, beam)
+            parents = (top_idx // vocab).astype(jnp.int32)   # (B, K)
+            tokens = (top_idx % vocab).astype(jnp.int32)     # (B, K)
+
+            # gather beam-indexed decoder state by parents
+            if n_models > 1:
+                new_model_states = jax.tree_util.tree_map(
+                    lambda x: jax.vmap(
+                        lambda arr: _gather_beams(
+                            arr, parents, batch, beam))(x),
+                    new_model_states)
+            else:
+                new_model_states = _gather_beams(
+                    new_model_states, parents, batch, beam)
+
+            def gather_bk(arr):
+                return jnp.take_along_axis(arr, parents, axis=1)
+
+            old_finished = gather_bk(search.finished)
+            old_lengths = gather_bk(search.lengths)
+            old_tokens = jnp.take_along_axis(
+                search.token_ids, parents[..., None], axis=1)
+
+            emit = jnp.where(old_finished, PAD_TOKEN_INDEX, tokens)
+            new_token_ids = jax.lax.dynamic_update_slice_in_dim(
+                old_tokens, emit[..., None], step, axis=2)
+
+            # summed logprob of the selected continuation (finished
+            # parents continue with PAD at zero cost, so their sum
+            # stays fixed)
+            new_logprob = jnp.take_along_axis(
+                total.reshape(batch, beam * vocab), top_idx, axis=1)
+            new_finished = old_finished | (emit == END_TOKEN_INDEX)
+            new_len = old_lengths + (~old_finished).astype(jnp.int32)
+
+            new_search = SearchState(
+                logprob_sum=new_logprob,
+                lengths=new_len,
+                finished=new_finished,
+                token_ids=new_token_ids)
+            return (step + 1, new_model_states, emit.reshape(-1),
+                    new_search, top_scores)
+
+        init_scores = jnp.zeros((batch, beam))
+        carry = (jnp.asarray(0, jnp.int32), stacked_states, prev_ids0,
+                 search0, init_scores)
+        _, _, _, search, _ = jax.lax.while_loop(cond, body, carry)
+
+        final_scores = search.logprob_sum / length_penalty(
+            search.lengths, self.length_normalization)
+        # sort beams best-first
+        order = jnp.argsort(-final_scores, axis=1)
+        return BeamSearchOutput(
+            token_ids=jnp.take_along_axis(
+                search.token_ids, order[..., None], axis=1),
+            lengths=jnp.take_along_axis(search.lengths, order, axis=1),
+            scores=jnp.take_along_axis(final_scores, order, axis=1))

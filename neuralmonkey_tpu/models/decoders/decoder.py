@@ -289,6 +289,15 @@ class Decoder(AutoregressiveDecoder):
     def decode_constants(self, ctx: Context):
         return self._make_constants(ctx)
 
+    def tile_decode_constants(self, constants, k: int):
+        """Repeat batch-dimensioned constants k× for beam search;
+        parameters and embedding tables broadcast untouched."""
+        tiled = dict(constants)
+        tiled["att_constants"] = jax.tree_util.tree_map(
+            lambda x: jnp.repeat(x, k, axis=0),
+            constants["att_constants"])
+        return tiled
+
     def decode_initial_state(self, ctx: Context, constants):
         return (self.initial_state(ctx),
                 self._att_initial_states(constants))

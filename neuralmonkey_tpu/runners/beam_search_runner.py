@@ -1,0 +1,63 @@
+"""Beam-search runner (reference nm/runners/beam_search_runner.py).
+
+The reference drove the beam step-by-step from Python; here the whole
+search is one jitted call (see decoders/beam_search_decoder.py) and the
+runner only picks the ``rank``-th hypothesis and maps ids to tokens.
+With K>1 restored checkpoints the runtime dispatches to
+``ensemble_fetches`` and the distributions are averaged inside the jit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List
+
+import numpy as np
+
+from ..model.part import Context
+from ..vocabulary import END_TOKEN_INDEX, PAD_TOKEN_INDEX
+from .base_runner import BaseRunner, ExecutionResult
+
+
+class BeamSearchRunner(BaseRunner):
+
+    def __init__(self, output_series: str, decoder,
+                 rank: int = 1,
+                 postprocess: Callable = None) -> None:
+        # `decoder` is a BeamSearchDecoder wrapping the parent decoder
+        super().__init__(output_series, decoder)
+        if rank < 1 or rank > decoder.beam_size:
+            raise ValueError(
+                f"Rank must be in [1, beam_size={decoder.beam_size}], "
+                f"got {rank}")
+        self.rank = rank
+        self.postprocess = postprocess
+
+    @property
+    def all_parts(self):
+        return [self.decoder, self.decoder.parent_decoder]
+
+    def fetches(self, ctx: Context) -> Dict:
+        output = self.decoder.search(ctx)
+        return {"token_ids": output.token_ids,
+                "scores": output.scores,
+                "lengths": output.lengths}
+
+    def ensemble_fetches(self, params_list, batch) -> Dict:
+        contexts = [Context(p, batch, train=False) for p in params_list]
+        output = self.decoder.ensemble_search(contexts)
+        return {"token_ids": output.token_ids,
+                "scores": output.scores,
+                "lengths": output.lengths}
+
+    def collect_results(self, fetched, num_examples) -> ExecutionResult:
+        ids = np.asarray(fetched["token_ids"])[:num_examples]
+        picked = ids[:, self.rank - 1, :]  # best-first sorted
+        sentences = self.decoder.vocabulary.vectors_to_sentences(picked)
+        if self.postprocess is not None:
+            sentences = self.postprocess(sentences)
+        scores = np.asarray(fetched["scores"])[:num_examples,
+                                               self.rank - 1]
+        return ExecutionResult(
+            outputs=sentences,
+            losses={"beam_score": float(np.mean(scores))},
+            size=num_examples)

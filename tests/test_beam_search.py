@@ -1,0 +1,133 @@
+"""Beam-search tests: greedy equivalence at beam=1, score ordering,
+length penalty, ensembling, runner integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralmonkey_tpu.dataset import Dataset
+from neuralmonkey_tpu.model.part import (Context, collect_parts,
+                                         init_all_params)
+from neuralmonkey_tpu.models.attention.feed_forward import Attention
+from neuralmonkey_tpu.models.decoders.beam_search_decoder import (
+    BeamSearchDecoder, length_penalty)
+from neuralmonkey_tpu.models.decoders.decoder import Decoder
+from neuralmonkey_tpu.models.encoders.recurrent import SentenceEncoder
+from neuralmonkey_tpu.runners.beam_search_runner import BeamSearchRunner
+from neuralmonkey_tpu.vocabulary import Vocabulary
+
+SRC = [["a", "b", "c"], ["b", "c"], ["a", "c", "c", "b"]]
+TGT = [["x", "y"], ["y", "y", "x"], ["x", "z"]]
+
+
+@pytest.fixture(scope="module")
+def model():
+    vs, vt = Vocabulary(), Vocabulary()
+    for s in SRC:
+        vs.add_tokenized_text(s)
+    for t in TGT:
+        vt.add_tokenized_text(t)
+    enc = SentenceEncoder(name="enc", vocabulary=vs, data_id="source",
+                          embedding_size=8, rnn_size=6)
+    att = Attention(name="att", encoder=enc)
+    dec = Decoder(name="dec", vocabulary=vt, data_id="target",
+                  max_output_len=6, rnn_size=7, encoders=[enc],
+                  attentions=[att], embedding_size=8)
+    ds = Dataset("toy", {"source": SRC, "target": TGT})
+    parts = collect_parts([dec])
+    params = init_all_params(parts, jax.random.PRNGKey(0))
+    batch = {}
+    for p in parts:
+        batch.update(p.featurize(ds))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    return dec, params, batch
+
+
+def test_length_penalty():
+    lengths = jnp.asarray([[5]], jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(length_penalty(lengths, 0.0)), 1.0)
+    lp = float(length_penalty(lengths, 1.0)[0, 0])
+    assert lp == pytest.approx(10.0 / 6.0)
+
+
+def test_beam1_matches_greedy(model):
+    """Beam=1 with no length norm must reproduce the greedy path."""
+    dec, params, batch = model
+    bs = BeamSearchDecoder(name="bs", parent_decoder=dec, beam_size=1,
+                           length_normalization=0.0)
+    ctx = Context(params, batch, train=False)
+    out = bs.search(ctx)
+    greedy = np.asarray(dec.decoded(Context(params, batch, train=False)))
+    beam_ids = np.asarray(out.token_ids)[:, 0, :]
+    np.testing.assert_array_equal(beam_ids, greedy)
+
+
+def test_beams_sorted_and_scores_finite(model):
+    dec, params, batch = model
+    bs = BeamSearchDecoder(name="bs", parent_decoder=dec, beam_size=4,
+                           length_normalization=0.6)
+    out = bs.search(Context(params, batch, train=False))
+    scores = np.asarray(out.scores)
+    assert scores.shape == (3, 4)
+    assert np.all(np.diff(scores, axis=1) <= 1e-5)  # best-first
+    assert np.all(np.isfinite(scores[:, 0]))
+    # top beam should be at least as good as greedy's sequence prob
+    assert out.token_ids.shape == (3, 4, 6)
+
+
+def test_beam_search_jits(model):
+    dec, params, batch = model
+    bs = BeamSearchDecoder(name="bs", parent_decoder=dec, beam_size=3)
+
+    @jax.jit
+    def run(p, b):
+        return bs.search(Context(p, b, train=False)).token_ids
+
+    ids = run(params, batch)
+    assert ids.shape == (3, 3, 6)
+
+
+def test_ensemble_search(model):
+    """Averaging two identical models must equal the single model."""
+    dec, params, batch = model
+    bs = BeamSearchDecoder(name="bs", parent_decoder=dec, beam_size=3,
+                           length_normalization=0.6)
+    single = bs.search(Context(params, batch, train=False))
+    double = bs.ensemble_search([
+        Context(params, batch, train=False),
+        Context(params, batch, train=False)])
+    np.testing.assert_array_equal(np.asarray(single.token_ids),
+                                  np.asarray(double.token_ids))
+    np.testing.assert_allclose(np.asarray(single.scores),
+                               np.asarray(double.scores), atol=1e-4)
+
+    # a genuinely different second model should (generally) change
+    # something — at minimum it must run and produce valid output
+    params2 = init_all_params(collect_parts([dec]),
+                              jax.random.PRNGKey(42))
+    mixed = bs.ensemble_search([
+        Context(params, batch, train=False),
+        Context(params2, batch, train=False)])
+    assert np.asarray(mixed.token_ids).shape == (3, 3, 6)
+
+
+def test_beam_search_runner(model):
+    dec, params, batch = model
+    bs = BeamSearchDecoder(name="bs", parent_decoder=dec, beam_size=3)
+    runner = BeamSearchRunner(output_series="target", decoder=bs)
+    fetched = jax.tree_util.tree_map(
+        np.asarray,
+        runner.fetches(Context(params, batch, train=False)))
+    result = runner.collect_results(fetched, 3)
+    assert len(result.outputs) == 3
+    assert all(isinstance(s, list) for s in result.outputs)
+    assert "beam_score" in result.losses
+
+
+def test_runner_rank_validation(model):
+    dec, params, batch = model
+    bs = BeamSearchDecoder(name="bs", parent_decoder=dec, beam_size=3)
+    with pytest.raises(ValueError):
+        BeamSearchRunner(output_series="t", decoder=bs, rank=4)
