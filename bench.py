@@ -53,14 +53,27 @@ def build(batch_size: int):
             f"w{i}" for i in range(VOCAB - 4)]
         v.word_to_index = {t: i for i, t in enumerate(v.index_to_word)}
 
+    class FullLengthDecoder(Decoder):
+        """Bench-only: forbid </s> so every sentence decodes the full
+        MAX_OUT steps — random params would otherwise end sentences
+        after ~2 steps and make throughput meaningless. Applied to the
+        TPU and CPU-baseline paths alike."""
+
+        def decode_step(self, constants, loop_state, prev_ids, step):
+            new_state, logits, aux = super().decode_step(
+                constants, loop_state, prev_ids, step)
+            import jax.numpy as jnp
+            logits = logits.at[..., 2].set(-1e9)  # END_TOKEN_INDEX
+            return new_state, logits, aux
+
     enc = SentenceEncoder(name="encoder", vocabulary=vs,
                           data_id="source", embedding_size=EMB,
                           rnn_size=RNN)
     att = Attention(name="attention", encoder=enc, state_size=RNN)
-    dec = Decoder(name="decoder", vocabulary=vt, data_id="target",
-                  max_output_len=MAX_OUT, rnn_size=RNN, encoders=[enc],
-                  attentions=[att], embedding_size=EMB,
-                  conditional_gru=True)
+    dec = FullLengthDecoder(
+        name="decoder", vocabulary=vt, data_id="target",
+        max_output_len=MAX_OUT, rnn_size=RNN, encoders=[enc],
+        attentions=[att], embedding_size=EMB, conditional_gru=True)
     bs = BeamSearchDecoder(name="bs", parent_decoder=dec,
                            beam_size=BEAM, length_normalization=0.6)
     parts = collect_parts([dec])
@@ -86,18 +99,22 @@ def tpu_throughput() -> float:
     def search(p, b):
         return bs.search(Context(p, b, train=False)).token_ids
 
-    ids = search(params, batch)  # compile
-    jax.block_until_ready(ids)
+    # Warm up twice with a full host transfer: on the axon backend
+    # block_until_ready does NOT cover the lazy remote compile — only an
+    # actual device->host copy guarantees the program ran.
+    for _ in range(2):
+        ids = np.asarray(search(params, batch))
 
     start = time.perf_counter()
     total = 0
     for _ in range(TPU_REPEATS):
         ids = search(params, batch)
-        jax.block_until_ready(ids)
+        # include the host transfer + ids->tokens postprocessing in the
+        # measured time (BASELINE.md protocol: host post-processing in)
+        arr = np.asarray(ids)
+        _ = dec.vocabulary.vectors_to_sentences(arr[:, 0, :])
         total += BATCH
     elapsed = time.perf_counter() - start
-    # include host postprocessing (ids -> tokens) as BASELINE.md demands
-    _ = dec.vocabulary.vectors_to_sentences(np.asarray(ids)[:, 0, :])
     return total / elapsed
 
 

@@ -1,0 +1,267 @@
+"""Transformer decoder (reference nm/decoders/transformer.py).
+
+Teacher-forced training is one straight-line causal pass (no scan —
+the MXU sees full (B·T, D) matmuls). Incremental decoding implements
+the AutoregressiveDecoder decode contract with per-layer KV caches in
+the loop state (written via dynamic_update_slice at static max length,
+future positions masked), and per-layer cross-attention K/V projected
+once per sentence in ``decode_constants`` — so beam search and greedy
+share the same on-device step.
+
+Multiple encoders attend sequentially (the reference's multi-source
+serial strategy).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...model.part import Context, ModelPart, tensor
+from ...ops import nn
+from ...ops.attention import (NEG_INF, attention_bias_from_mask,
+                              causal_bias, dot_product_attention, ffn,
+                              ffn_init, layer_norm, layer_norm_init,
+                              merge_heads, mha_init,
+                              multi_head_attention,
+                              sinusoidal_position_encoding, split_heads)
+from .autoregressive import AutoregressiveDecoder
+
+
+class TransformerDecoder(AutoregressiveDecoder):
+
+    def __init__(self, name: str,
+                 vocabulary,
+                 data_id: str,
+                 max_output_len: int,
+                 encoders: List = None,
+                 encoder=None,
+                 ff_hidden_size: int = None,
+                 depth: int = 6,
+                 n_heads_self: int = 8,
+                 n_heads_enc: int = 8,
+                 embedding_size: int = None,
+                 embeddings_source=None,
+                 tie_embeddings: bool = True,
+                 label_smoothing: float = None,
+                 dropout_keep_prob: float = 0.9,
+                 attention_dropout_keep_prob: float = 1.0,
+                 supress_unk: bool = False,
+                 reuse: ModelPart = None,
+                 save_checkpoint: str = None,
+                 load_checkpoint: str = None) -> None:
+        super().__init__(
+            name=name, vocabulary=vocabulary, data_id=data_id,
+            max_output_len=max_output_len,
+            dropout_keep_prob=dropout_keep_prob,
+            embedding_size=embedding_size,
+            embeddings_source=embeddings_source,
+            tie_embeddings=tie_embeddings,
+            label_smoothing=label_smoothing, supress_unk=supress_unk,
+            reuse=reuse, save_checkpoint=save_checkpoint,
+            load_checkpoint=load_checkpoint)
+        if encoders is None:
+            encoders = [encoder] if encoder is not None else []
+        self.encoders = encoders
+        self.model_dim = self.embedding_size
+        self.ff_hidden_size = ff_hidden_size or 4 * self.model_dim
+        self.depth = depth
+        self.n_heads_self = n_heads_self
+        self.n_heads_enc = n_heads_enc
+        self.attention_dropout_keep_prob = attention_dropout_keep_prob
+        if self.model_dim % n_heads_self or (
+                encoders and self.model_dim % n_heads_enc):
+            raise ValueError("model dim must divide the head counts")
+        # transformer convention: scale target embeddings by sqrt(d)
+        self.embeddings.scale_embeddings_by_depth = True
+
+    # ------------------------------------------------------------------ #
+    def init_params(self, rng):
+        params: Dict[str, Any] = {}
+        for i in range(self.depth):
+            rng, k_self, k_ff = jax.random.split(rng, 3)
+            layer = {
+                "ln_self": layer_norm_init(self.model_dim),
+                "self_att": mha_init(k_self, self.model_dim,
+                                     self.model_dim, self.model_dim),
+                "ln_ff": layer_norm_init(self.model_dim),
+                "ff": ffn_init(k_ff, self.model_dim,
+                               self.ff_hidden_size),
+            }
+            for e, enc in enumerate(self.encoders):
+                rng, k_cross = jax.random.split(rng)
+                layer[f"ln_cross_{e}"] = layer_norm_init(self.model_dim)
+                layer[f"cross_att_{e}"] = mha_init(
+                    k_cross, self.model_dim, enc.state_dim,
+                    self.model_dim)
+            params[f"layer_{i}"] = layer
+        params["ln_out"] = layer_norm_init(self.model_dim)
+        if not self.tie_embeddings:
+            rng, k_logit = jax.random.split(rng)
+            params["logit"] = nn.linear_init(
+                k_logit, self.model_dim, len(self.vocabulary))
+        else:
+            params["logit_bias"] = jnp.zeros((len(self.vocabulary),))
+        return params
+
+    def _logits_from_states(self, params, embed_table, states):
+        if self.tie_embeddings:
+            # undo the sqrt(d) embedding scale for the output projection
+            return (jnp.dot(states, embed_table.T,
+                            preferred_element_type=jnp.float32)
+                    + params["logit_bias"])
+        return nn.linear(params["logit"], states)
+
+    # ------------------------------------------------------------------ #
+    # teacher-forced training (fully parallel)
+    # ------------------------------------------------------------------ #
+    @tensor
+    def train_logits(self, ctx: Context):
+        params = ctx.get_params(self)
+        inputs = self.train_inputs(ctx)
+        x = self.embeddings.embed(ctx, inputs)
+        time = x.shape[1]
+        x = x + sinusoidal_position_encoding(
+            time, self.model_dim, x.dtype)[None]
+        x = ctx.dropout(self, x, self.dropout_keep_prob, "input_dropout")
+
+        self_bias = causal_bias(time, x.dtype)
+        enc_data = []
+        for e, enc in enumerate(self.encoders):
+            enc_states = enc.temporal_states(ctx)
+            enc_bias = attention_bias_from_mask(enc.temporal_mask(ctx))
+            enc_data.append((enc_states, enc_bias))
+
+        for i in range(self.depth):
+            layer = params[f"layer_{i}"]
+            normed = layer_norm(layer["ln_self"], x)
+            att_rng = (ctx.make_rng(self, f"self_att_drop_{i}")
+                       if ctx.train
+                       and self.attention_dropout_keep_prob < 1.0
+                       else None)
+            att = multi_head_attention(
+                layer["self_att"], normed, normed, normed,
+                self.n_heads_self, self_bias, att_rng,
+                self.attention_dropout_keep_prob)
+            x = x + ctx.dropout(self, att, self.dropout_keep_prob,
+                                f"res_self_{i}")
+            for e, (enc_states, enc_bias) in enumerate(enc_data):
+                normed = layer_norm(layer[f"ln_cross_{e}"], x)
+                cross = multi_head_attention(
+                    layer[f"cross_att_{e}"], normed, enc_states,
+                    enc_states, self.n_heads_enc, enc_bias)
+                x = x + ctx.dropout(
+                    self, cross, self.dropout_keep_prob,
+                    f"res_cross_{i}_{e}")
+            normed = layer_norm(layer["ln_ff"], x)
+            ff_out = ffn(layer["ff"], normed)
+            x = x + ctx.dropout(self, ff_out, self.dropout_keep_prob,
+                                f"res_ff_{i}")
+
+        x = layer_norm(params["ln_out"], x)
+        table = ctx.get_params(self.embeddings)["embeddings"]
+        return self._logits_from_states(params, table, x)
+
+    # ------------------------------------------------------------------ #
+    # incremental decode contract (greedy + beam search)
+    # ------------------------------------------------------------------ #
+    def decode_constants(self, ctx: Context):
+        params = ctx.get_params(self)
+        constants: Dict[str, Any] = {
+            "params": params,
+            "embed_table":
+                ctx.get_params(self.embeddings)["embeddings"],
+            "enc_kv": [],
+            "enc_bias": [],
+        }
+        # cross-attention K/V projected once per sentence
+        for e, enc in enumerate(self.encoders):
+            enc_states = enc.temporal_states(ctx)
+            per_layer = []
+            for i in range(self.depth):
+                att_p = params[f"layer_{i}"][f"cross_att_{e}"]
+                per_layer.append(
+                    (nn.linear(att_p["k"], enc_states),
+                     nn.linear(att_p["v"], enc_states)))
+            constants["enc_kv"].append(per_layer)
+            constants["enc_bias"].append(
+                attention_bias_from_mask(enc.temporal_mask(ctx)))
+        return constants
+
+    def tile_decode_constants(self, constants, k: int):
+        tiled = dict(constants)
+        rep = lambda x: jnp.repeat(x, k, axis=0)
+        tiled["enc_kv"] = jax.tree_util.tree_map(
+            rep, constants["enc_kv"])
+        tiled["enc_bias"] = jax.tree_util.tree_map(
+            rep, constants["enc_bias"])
+        return tiled
+
+    def decode_initial_state(self, ctx: Context, constants):
+        batch = self._batch_size(ctx)
+        caches = []
+        for _ in range(self.depth):
+            caches.append({
+                "k": jnp.zeros((batch, self.max_output_len,
+                                self.model_dim)),
+                "v": jnp.zeros((batch, self.max_output_len,
+                                self.model_dim)),
+            })
+        return tuple(caches)
+
+    def decode_step(self, constants, loop_state, prev_ids, step):
+        params = constants["params"]
+        table = constants["embed_table"]
+        caches = loop_state
+
+        x = jnp.take(table, prev_ids, axis=0)
+        x = x * jnp.sqrt(jnp.asarray(self.model_dim, x.dtype))
+        x = x + sinusoidal_position_encoding(
+            self.max_output_len, self.model_dim, x.dtype)[step]
+        x = x[:, None, :]  # (B, 1, D)
+
+        # positions beyond `step` are masked out of the cache attention
+        positions = jnp.arange(self.max_output_len)
+        cache_bias = jnp.where(positions <= step, 0.0,
+                               NEG_INF)[None, None, None, :]
+
+        new_caches = []
+        for i in range(self.depth):
+            layer = params[f"layer_{i}"]
+            cache = caches[i]
+            normed = layer_norm(layer["ln_self"], x)
+            att_p = layer["self_att"]
+            q = nn.linear(att_p["q"], normed)
+            k_t = nn.linear(att_p["k"], normed)
+            v_t = nn.linear(att_p["v"], normed)
+            k_cache = jax.lax.dynamic_update_slice_in_dim(
+                cache["k"], k_t, step, axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(
+                cache["v"], v_t, step, axis=1)
+            new_caches.append({"k": k_cache, "v": v_cache})
+            att = dot_product_attention(
+                split_heads(q, self.n_heads_self),
+                split_heads(k_cache, self.n_heads_self),
+                split_heads(v_cache, self.n_heads_self),
+                cache_bias)
+            att = nn.linear(att_p["o"], merge_heads(att))
+            x = x + att
+            for e in range(len(self.encoders)):
+                normed = layer_norm(layer[f"ln_cross_{e}"], x)
+                att_p = layer[f"cross_att_{e}"]
+                q = nn.linear(att_p["q"], normed)
+                k_enc, v_enc = constants["enc_kv"][e][i]
+                cross = dot_product_attention(
+                    split_heads(q, self.n_heads_enc),
+                    split_heads(k_enc, self.n_heads_enc),
+                    split_heads(v_enc, self.n_heads_enc),
+                    constants["enc_bias"][e])
+                x = x + nn.linear(att_p["o"], merge_heads(cross))
+            normed = layer_norm(layer["ln_ff"], x)
+            x = x + ffn(layer["ff"], normed)
+
+        x = layer_norm(params["ln_out"], x)[:, 0, :]  # (B, D)
+        logits = self._logits_from_states(params, table, x)
+        return tuple(new_caches), logits, {}

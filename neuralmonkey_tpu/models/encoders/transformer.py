@@ -1,0 +1,163 @@
+"""Transformer encoder (reference nm/encoders/transformer.py).
+
+Pre-norm residual blocks (LN → self-attention → +res, LN → FFN → +res)
+with a final LN; sinusoidal or learned position embeddings. The whole
+encoder is straight-line XLA: per-layer fused matmuls on the MXU, no
+scans.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...model.part import Context, ModelPart, tensor
+from ...model.sequence import EmbeddedSequence
+from ...model.stateful import TemporalStatefulWithOutput
+from ...ops import nn
+from ...ops.attention import (attention_bias_from_mask, ffn, ffn_init,
+                              layer_norm, layer_norm_init, mha_init,
+                              multi_head_attention,
+                              sinusoidal_position_encoding)
+from ...vocabulary import Vocabulary
+
+_POSITION_TYPES = ("sinusoidal", "learned", "none")
+
+
+class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
+
+    def __init__(self, name: str,
+                 input_sequence=None,
+                 ff_hidden_size: int = None,
+                 depth: int = 6,
+                 n_heads: int = 8,
+                 dropout_keep_prob: float = 0.9,
+                 attention_dropout_keep_prob: float = 1.0,
+                 position_encoding: str = "sinusoidal",
+                 max_position: int = 512,
+                 # sugar for building the input sequence inline:
+                 vocabulary: Vocabulary = None,
+                 data_id: str = None,
+                 embedding_size: int = None,
+                 max_input_len: int = None,
+                 reuse: ModelPart = None,
+                 save_checkpoint: str = None,
+                 load_checkpoint: str = None) -> None:
+        ModelPart.__init__(self, name, reuse, save_checkpoint,
+                           load_checkpoint)
+        if input_sequence is None:
+            if vocabulary is None or data_id is None \
+                    or embedding_size is None:
+                raise ValueError(
+                    "Provide input_sequence or vocabulary+data_id+"
+                    "embedding_size")
+            input_sequence = EmbeddedSequence(
+                name=f"{name}_input", vocabulary=vocabulary,
+                data_id=data_id, embedding_size=embedding_size,
+                max_length=max_input_len,
+                scale_embeddings_by_depth=True)
+        if position_encoding not in _POSITION_TYPES:
+            raise ValueError(
+                f"position_encoding must be one of {_POSITION_TYPES}")
+        self.input_sequence = input_sequence
+        self.model_dim = input_sequence.state_dim
+        self.ff_hidden_size = ff_hidden_size or 4 * self.model_dim
+        self.depth = depth
+        self.n_heads = n_heads
+        if self.model_dim % n_heads:
+            raise ValueError(
+                f"model dim {self.model_dim} not divisible by "
+                f"{n_heads} heads")
+        self.dropout_keep_prob = dropout_keep_prob
+        self.attention_dropout_keep_prob = attention_dropout_keep_prob
+        self.position_encoding = position_encoding
+        self.max_position = max_position
+
+    @property
+    def state_dim(self) -> int:
+        return self.model_dim
+
+    @property
+    def output_dim(self) -> int:
+        return self.model_dim
+
+    def init_params(self, rng):
+        params = {}
+        if self.position_encoding == "learned":
+            rng, sub = jax.random.split(rng)
+            params["position_emb"] = jax.random.normal(
+                sub, (self.max_position, self.model_dim)) * 0.01
+        for i in range(self.depth):
+            rng, k1, k2 = jax.random.split(rng, 3)
+            params[f"layer_{i}"] = {
+                "ln_att": layer_norm_init(self.model_dim),
+                "att": mha_init(k1, self.model_dim, self.model_dim,
+                                self.model_dim),
+                "ln_ff": layer_norm_init(self.model_dim),
+                "ff": ffn_init(k2, self.model_dim, self.ff_hidden_size),
+            }
+        params["ln_out"] = layer_norm_init(self.model_dim)
+        return params
+
+    # ------------------------------------------------------------------ #
+    @tensor
+    def temporal_mask(self, ctx: Context):
+        return self.input_sequence.temporal_mask(ctx)
+
+    def _add_positions(self, params, states):
+        time = states.shape[1]
+        if self.position_encoding == "sinusoidal":
+            return states + sinusoidal_position_encoding(
+                time, self.model_dim, states.dtype)[None]
+        if self.position_encoding == "learned":
+            return states + params["position_emb"][None, :time]
+        return states
+
+    @tensor
+    def temporal_states(self, ctx: Context):
+        params = ctx.get_params(self)
+        states = self.input_sequence.temporal_states(ctx)
+        mask = self.input_sequence.temporal_mask(ctx)
+        bias = attention_bias_from_mask(mask)
+
+        states = self._add_positions(params, states)
+        states = ctx.dropout(self, states, self.dropout_keep_prob,
+                             "input_dropout")
+        for i in range(self.depth):
+            layer = params[f"layer_{i}"]
+            normed = layer_norm(layer["ln_att"], states)
+            att_rng = (ctx.make_rng(self, f"att_drop_{i}")
+                       if ctx.train
+                       and self.attention_dropout_keep_prob < 1.0
+                       else None)
+            att_out = multi_head_attention(
+                layer["att"], normed, normed, normed, self.n_heads,
+                bias, att_rng, self.attention_dropout_keep_prob)
+            att_out = ctx.dropout(self, att_out, self.dropout_keep_prob,
+                                  f"res_drop_att_{i}")
+            states = states + att_out
+
+            normed = layer_norm(layer["ln_ff"], states)
+            ff_rng = (ctx.make_rng(self, f"ff_drop_{i}")
+                      if ctx.train and self.dropout_keep_prob < 1.0
+                      else None)
+            ff_out = ffn(layer["ff"], normed, dropout_rng=ff_rng,
+                         dropout_keep_prob=self.dropout_keep_prob)
+            ff_out = ctx.dropout(self, ff_out, self.dropout_keep_prob,
+                                 f"res_drop_ff_{i}")
+            states = states + ff_out
+
+        states = layer_norm(params["ln_out"], states)
+        # zero out padding positions for clean downstream pooling
+        return states * mask[..., None]
+
+    @tensor
+    def output(self, ctx: Context):
+        """Masked mean-pool over time (the reference's encoder output)."""
+        states = self.temporal_states(ctx)
+        mask = self.temporal_mask(ctx)
+        total = jnp.sum(states, axis=1)
+        count = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+        return total / count

@@ -1,0 +1,133 @@
+"""Multi-head attention ops (pure-JAX reference implementations).
+
+Used by the Transformer encoder/decoder (reference
+nm/attention/scaled_dot_product.py's MultiHeadAttention). Shapes are
+kept MXU-friendly: one fused QKV-style projection per call site, heads
+folded into the batch dimension, softmax masked additively. The Pallas
+flash-attention kernel (ops/pallas_attention.py) is a drop-in behind
+``dot_product_attention`` for long sequences.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import nn
+
+NEG_INF = -1e9
+
+
+def sinusoidal_position_encoding(length: int, dim: int,
+                                 dtype=jnp.float32) -> jnp.ndarray:
+    """(length, dim) transformer position signal (Vaswani et al.)."""
+    positions = jnp.arange(length, dtype=dtype)[:, None]
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(10000.0) * jnp.arange(half, dtype=dtype) / half)
+    angles = positions * freqs[None, :]
+    encoding = jnp.concatenate(
+        [jnp.sin(angles), jnp.cos(angles)], axis=1)
+    if encoding.shape[1] < dim:  # odd dims
+        encoding = jnp.pad(encoding, ((0, 0), (0, dim - encoding.shape[1])))
+    return encoding
+
+
+def layer_norm_init(dim: int) -> Dict:
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def layer_norm(params: Dict, x: jnp.ndarray,
+               epsilon: float = 1e-6) -> jnp.ndarray:
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return ((x - mean) * jax.lax.rsqrt(var + epsilon)
+            * params["scale"] + params["bias"])
+
+
+def mha_init(rng, query_dim: int, kv_dim: int, model_dim: int,
+             out_dim: int = None) -> Dict:
+    """Projection params for multi-head attention."""
+    out_dim = out_dim if out_dim is not None else query_dim
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    return {
+        "q": nn.linear_init(k1, query_dim, model_dim),
+        "k": nn.linear_init(k2, kv_dim, model_dim),
+        "v": nn.linear_init(k3, kv_dim, model_dim),
+        "o": nn.linear_init(k4, model_dim, out_dim),
+    }
+
+
+def split_heads(x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    """(B, T, D) -> (B, H, T, D/H)."""
+    b, t, d = x.shape
+    return x.reshape(b, t, n_heads, d // n_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, T, Dh) -> (B, T, H*Dh)."""
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray,
+                          v: jnp.ndarray,
+                          bias: Optional[jnp.ndarray] = None,
+                          dropout_rng=None,
+                          dropout_keep_prob: float = 1.0) -> jnp.ndarray:
+    """(B, H, Tq, Dh) x (B, H, Tk, Dh) -> (B, H, Tq, Dh)."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if bias is not None:
+        scores = scores + bias
+    weights = jax.nn.softmax(scores, axis=-1)
+    if dropout_rng is not None and dropout_keep_prob < 1.0:
+        keep = jax.random.bernoulli(dropout_rng, dropout_keep_prob,
+                                    weights.shape)
+        weights = jnp.where(keep, weights / dropout_keep_prob, 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+def attention_bias_from_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, Tk) float mask -> additive bias (B, 1, 1, Tk)."""
+    return jnp.where(mask > 0, 0.0, NEG_INF)[:, None, None, :]
+
+
+def causal_bias(length: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(1, 1, T, T) additive bias for decoder self-attention."""
+    mask = jnp.tril(jnp.ones((length, length), bool))
+    return jnp.where(mask, 0.0, NEG_INF)[None, None, :, :].astype(dtype)
+
+
+def multi_head_attention(params: Dict,
+                         queries: jnp.ndarray,
+                         keys: jnp.ndarray,
+                         values: jnp.ndarray,
+                         n_heads: int,
+                         bias: Optional[jnp.ndarray] = None,
+                         dropout_rng=None,
+                         dropout_keep_prob: float = 1.0) -> jnp.ndarray:
+    """Full MHA: project, attend, merge, output-project."""
+    q = split_heads(nn.linear(params["q"], queries), n_heads)
+    k = split_heads(nn.linear(params["k"], keys), n_heads)
+    v = split_heads(nn.linear(params["v"], values), n_heads)
+    out = dot_product_attention(q, k, v, bias, dropout_rng,
+                                dropout_keep_prob)
+    return nn.linear(params["o"], merge_heads(out))
+
+
+def ffn_init(rng, model_dim: int, hidden_dim: int) -> Dict:
+    k1, k2 = jax.random.split(rng)
+    return {"in": nn.linear_init(k1, model_dim, hidden_dim),
+            "out": nn.linear_init(k2, hidden_dim, model_dim)}
+
+
+def ffn(params: Dict, x: jnp.ndarray, activation=jax.nn.relu,
+        dropout_rng=None, dropout_keep_prob: float = 1.0) -> jnp.ndarray:
+    hidden = activation(nn.linear(params["in"], x))
+    if dropout_rng is not None and dropout_keep_prob < 1.0:
+        hidden = nn.dropout(hidden, dropout_keep_prob, dropout_rng, True)
+    return nn.linear(params["out"], hidden)
