@@ -93,6 +93,12 @@ class BaseAttention(ModelPart):
     def precompute(self, ctx: Context) -> AttentionConstants:
         raise NotImplementedError
 
+    def tile_constants(self, constants, k: int):
+        """Repeat batch-dimensioned constants k× (beam search)."""
+        import jax
+        return jax.tree_util.tree_map(
+            lambda x: jnp.repeat(x, k, axis=0), constants)
+
     def step(self, params: Dict[str, Any],
              constants: AttentionConstants,
              query: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

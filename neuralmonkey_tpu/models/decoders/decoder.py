@@ -291,11 +291,13 @@ class Decoder(AutoregressiveDecoder):
 
     def tile_decode_constants(self, constants, k: int):
         """Repeat batch-dimensioned constants k× for beam search;
-        parameters and embedding tables broadcast untouched."""
+        parameters and embedding tables broadcast untouched. Each
+        attention knows which of its constants carry a batch axis."""
         tiled = dict(constants)
-        tiled["att_constants"] = jax.tree_util.tree_map(
-            lambda x: jnp.repeat(x, k, axis=0),
-            constants["att_constants"])
+        tiled["att_constants"] = tuple(
+            att.tile_constants(c, k)
+            for att, c in zip(self.attentions,
+                              constants["att_constants"]))
         return tiled
 
     def decode_initial_state(self, ctx: Context, constants):
