@@ -228,6 +228,43 @@ class AutoregressiveDecoder(ModelPart):
         return logits, decoded, aux
 
     @tensor
+    def sample_outputs(self, ctx: Context
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Ancestral sampling decode. Returns (sampled ids (B, L),
+        summed log-probs of the sampled tokens (B,)) — the RL /
+        self-critical training path (reference
+        nm/trainers/self_critical_objective.py counterpart)."""
+        constants = self.decode_constants(ctx)
+        init_state = self.decode_initial_state(ctx, constants)
+        batch = self._batch_size(ctx)
+        start_ids = jnp.full((batch,), START_TOKEN_INDEX, jnp.int32)
+        finished0 = jnp.zeros((batch,), bool)
+        base_rng = ctx.make_rng(self, "sampling")
+
+        def body(carry, step):
+            loop_state, prev_ids, finished = carry
+            new_state, logits, _ = self.decode_step(
+                constants, loop_state, prev_ids, step)
+            logits = self._mask_unk(logits)
+            log_probs = jax.nn.log_softmax(logits, axis=-1)
+            step_rng = jax.random.fold_in(base_rng, step)
+            new_ids = jax.random.categorical(
+                step_rng, logits).astype(jnp.int32)
+            new_ids = jnp.where(finished, PAD_TOKEN_INDEX, new_ids)
+            chosen_lp = jnp.take_along_axis(
+                log_probs, new_ids[:, None], axis=-1)[:, 0]
+            chosen_lp = jnp.where(finished, 0.0, chosen_lp)
+            new_finished = finished | (new_ids == END_TOKEN_INDEX)
+            return ((new_state, new_ids, new_finished),
+                    (new_ids, chosen_lp))
+
+        _, (sampled, logprobs) = jax.lax.scan(
+            body, (init_state, start_ids, finished0),
+            jnp.arange(self.max_output_len))
+        sampled = jnp.swapaxes(sampled, 0, 1)
+        return sampled, jnp.sum(logprobs, axis=0)
+
+    @tensor
     def decoded(self, ctx: Context):
         _, ids, _ = self.greedy_outputs(ctx)
         return ids

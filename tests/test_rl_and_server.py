@@ -1,0 +1,133 @@
+"""Self-critical/REINFORCE objectives + REST server integration."""
+
+import json
+import os
+import threading
+import time
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralmonkey_tpu.dataset import Dataset
+from neuralmonkey_tpu.model.part import (Context, collect_parts,
+                                         init_all_params)
+from neuralmonkey_tpu.models.attention.feed_forward import Attention
+from neuralmonkey_tpu.models.decoders.decoder import Decoder
+from neuralmonkey_tpu.models.encoders.recurrent import SentenceEncoder
+from neuralmonkey_tpu.trainers.self_critical_objective import (
+    reinforce_objective, self_critical_objective)
+from neuralmonkey_tpu.vocabulary import Vocabulary
+
+SRC = [["a", "b", "c"], ["b", "c"]]
+TGT = [["x", "y"], ["y", "y", "x"]]
+
+
+@pytest.fixture(scope="module")
+def model():
+    vs, vt = Vocabulary(), Vocabulary()
+    for s in SRC:
+        vs.add_tokenized_text(s)
+    for t in TGT:
+        vt.add_tokenized_text(t)
+    enc = SentenceEncoder(name="enc", vocabulary=vs, data_id="source",
+                          embedding_size=8, rnn_size=6)
+    att = Attention(name="att", encoder=enc)
+    dec = Decoder(name="dec", vocabulary=vt, data_id="target",
+                  max_output_len=5, rnn_size=7, encoders=[enc],
+                  attentions=[att], embedding_size=8)
+    ds = Dataset("toy", {"source": SRC, "target": TGT})
+    parts = collect_parts([dec])
+    params = init_all_params(parts, jax.random.PRNGKey(0))
+    batch = {}
+    for p in parts:
+        batch.update(p.featurize(ds, train=False))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    return dec, params, batch
+
+
+def test_sample_outputs(model):
+    dec, params, batch = model
+    ctx = Context(params, batch, train=True, rng=jax.random.PRNGKey(3))
+    sampled, logprob = dec.sample_outputs(ctx)
+    assert sampled.shape == (2, 5)
+    assert logprob.shape == (2,)
+    assert np.all(np.asarray(logprob) <= 0.0)
+    # different rng -> (almost surely) different samples
+    ctx2 = Context(params, batch, train=True,
+                   rng=jax.random.PRNGKey(4))
+    sampled2, _ = dec.sample_outputs(ctx2)
+    assert not np.array_equal(np.asarray(sampled), np.asarray(sampled2))
+
+
+def test_self_critical_objective_grads(model):
+    dec, params, batch = model
+    objective = self_critical_objective(dec)
+
+    def loss_fn(p):
+        ctx = Context(p, batch, train=True, rng=jax.random.PRNGKey(5))
+        return objective.loss(ctx)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    norm = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(jnp.sum(jnp.abs(b))), grads, 0.0)
+    assert np.isfinite(norm)
+
+
+def test_reinforce_objective(model):
+    dec, params, batch = model
+    objective = reinforce_objective(dec)
+    ctx = Context(params, batch, train=True, rng=jax.random.PRNGKey(6))
+    assert np.isfinite(float(objective.loss(ctx)))
+
+
+# ---------------------------------------------------------------------- #
+def test_server_round_trip(tmp_path):
+    """Boot the stdlib server on a trained toy model; POST /run."""
+    from neuralmonkey_tpu.experiment import Experiment
+    from neuralmonkey_tpu.server import ModelService, make_handler
+    from http.server import ThreadingHTTPServer
+
+    out = str(tmp_path / "srv")
+    config = os.path.join(os.path.dirname(__file__), "configs",
+                          "small.ini")
+    exp = Experiment(
+        config, train_mode=True,
+        config_changes=[f'main.output="{out}"', "main.epochs=1",
+                        "main.validation_period=1000"])
+    exp.train()
+
+    service = ModelService(exp)
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(service))
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        payload = json.dumps(
+            {"source": ["one two three", "nine eight"]}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/run", data=payload,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            body = json.loads(resp.read())
+        assert "target" in body
+        assert len(body["target"]) == 2
+        assert all(isinstance(s, list) for s in body["target"])
+
+        # malformed request -> clean 400, server stays alive
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/run", data=b"not json",
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(bad, timeout=30)
+        assert err.value.code == 400
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=30) as resp:
+            assert json.loads(resp.read())["status"] == "ok"
+    finally:
+        server.shutdown()
