@@ -201,10 +201,12 @@ def training_loop(tf_manager,
             log_print("")
             log(f"Epoch {epoch} begins", color="red")
             train_dataset.shuffled = True
-            for batch in train_dataset.batches(batching_scheme):
-                losses = tf_manager.train_on_batch(
-                    trainer, batch,
-                    batching_scheme.batch_size or len(batch))
+            batch_size = batching_scheme.batch_size or 16
+            for device_batch, _ in tf_manager.iter_prepared_batches(
+                    train_dataset, batching_scheme, batch_size,
+                    train=True):
+                losses = tf_manager.train_on_prepared(
+                    trainer, device_batch)
                 step_losses.append(losses)
                 step = tf_manager.global_step
 

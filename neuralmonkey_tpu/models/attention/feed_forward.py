@@ -63,11 +63,16 @@ class Attention(BaseAttention):
         return AttentionConstants(states=states, keys=keys, mask=mask)
 
     def step(self, params, constants: AttentionConstants, query):
-        # query: (B, q) -> (B, 1, a)
-        projected_query = nn.linear(params["query_proj"], query)[:, None, :]
+        projected_query = nn.linear(params["query_proj"], query)
+        from ...ops.kernel_config import use_pallas
+        if use_pallas():
+            from ...ops.pallas_attention import fused_bahdanau_step
+            return fused_bahdanau_step(
+                constants.keys, constants.states, constants.mask,
+                projected_query, params["similarity_v"])
         energies = jnp.einsum(
             "bta,a->bt",
-            jnp.tanh(constants.keys + projected_query),
+            jnp.tanh(constants.keys + projected_query[:, None, :]),
             params["similarity_v"])
         weights = masked_softmax(energies, constants.mask)
         context = jnp.einsum("bt,btd->bd", weights, constants.states)

@@ -127,12 +127,11 @@ class TransformerDecoder(AutoregressiveDecoder):
             time, self.model_dim, x.dtype)[None]
         x = ctx.dropout(self, x, self.dropout_keep_prob, "input_dropout")
 
-        self_bias = causal_bias(time, x.dtype)
+        all_keys_mask = jnp.ones((x.shape[0], time), x.dtype)
         enc_data = []
         for e, enc in enumerate(self.encoders):
-            enc_states = enc.temporal_states(ctx)
-            enc_bias = attention_bias_from_mask(enc.temporal_mask(ctx))
-            enc_data.append((enc_states, enc_bias))
+            enc_data.append((enc.temporal_states(ctx),
+                             enc.temporal_mask(ctx)))
 
         for i in range(self.depth):
             layer = params[f"layer_{i}"]
@@ -143,15 +142,17 @@ class TransformerDecoder(AutoregressiveDecoder):
                        else None)
             att = multi_head_attention(
                 layer["self_att"], normed, normed, normed,
-                self.n_heads_self, self_bias, att_rng,
-                self.attention_dropout_keep_prob)
+                self.n_heads_self, None, att_rng,
+                self.attention_dropout_keep_prob,
+                key_mask=all_keys_mask, causal=True)
             x = x + ctx.dropout(self, att, self.dropout_keep_prob,
                                 f"res_self_{i}")
-            for e, (enc_states, enc_bias) in enumerate(enc_data):
+            for e, (enc_states, enc_mask) in enumerate(enc_data):
                 normed = layer_norm(layer[f"ln_cross_{e}"], x)
                 cross = multi_head_attention(
                     layer[f"cross_att_{e}"], normed, enc_states,
-                    enc_states, self.n_heads_enc, enc_bias)
+                    enc_states, self.n_heads_enc,
+                    key_mask=enc_mask)
                 x = x + ctx.dropout(
                     self, cross, self.dropout_keep_prob,
                     f"res_cross_{i}_{e}")

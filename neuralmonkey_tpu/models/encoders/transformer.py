@@ -120,7 +120,6 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
         params = ctx.get_params(self)
         states = self.input_sequence.temporal_states(ctx)
         mask = self.input_sequence.temporal_mask(ctx)
-        bias = attention_bias_from_mask(mask)
 
         states = self._add_positions(params, states)
         states = ctx.dropout(self, states, self.dropout_keep_prob,
@@ -134,7 +133,8 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
                        else None)
             att_out = multi_head_attention(
                 layer["att"], normed, normed, normed, self.n_heads,
-                bias, att_rng, self.attention_dropout_keep_prob)
+                None, att_rng, self.attention_dropout_keep_prob,
+                key_mask=mask)
             att_out = ctx.dropout(self, att_out, self.dropout_keep_prob,
                                   f"res_drop_att_{i}")
             states = states + att_out

@@ -109,13 +109,32 @@ def multi_head_attention(params: Dict,
                          n_heads: int,
                          bias: Optional[jnp.ndarray] = None,
                          dropout_rng=None,
-                         dropout_keep_prob: float = 1.0) -> jnp.ndarray:
-    """Full MHA: project, attend, merge, output-project."""
+                         dropout_keep_prob: float = 1.0,
+                         key_mask: Optional[jnp.ndarray] = None,
+                         causal: bool = False) -> jnp.ndarray:
+    """Full MHA: project, attend, merge, output-project.
+
+    When the masking is expressible as ``key_mask`` (+ ``causal``)
+    rather than an arbitrary ``bias``, and attention dropout is off,
+    the fused Pallas flash-attention kernel is used on TPU — the score
+    matrix never hits HBM.
+    """
     q = split_heads(nn.linear(params["q"], queries), n_heads)
     k = split_heads(nn.linear(params["k"], keys), n_heads)
     v = split_heads(nn.linear(params["v"], values), n_heads)
-    out = dot_product_attention(q, k, v, bias, dropout_rng,
-                                dropout_keep_prob)
+    from .kernel_config import use_pallas
+    if key_mask is not None and dropout_rng is None and use_pallas():
+        from .pallas_attention import flash_attention
+        out = flash_attention(q, k, v, key_mask, causal)
+    else:
+        if bias is None and key_mask is not None:
+            bias = attention_bias_from_mask(key_mask)
+            if causal:
+                bias = bias + causal_bias(keys.shape[1],
+                                          queries.dtype
+                                          )[:, :, :queries.shape[1], :]
+        out = dot_product_attention(q, k, v, bias, dropout_rng,
+                                    dropout_keep_prob)
     return nn.linear(params["o"], merge_heads(out))
 
 

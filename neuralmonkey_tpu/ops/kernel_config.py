@@ -1,0 +1,66 @@
+"""Kernel selection flags.
+
+Pallas TPU kernels are drop-ins behind the pure-JAX reference
+implementations (every kernel has a golden test against its reference,
+SURVEY.md §8.1). Selection:
+
+- ``NM_USE_PALLAS=1``/``0`` forces kernels on/off;
+- default: on when the backend is a real TPU, off on CPU (tests run the
+  pure-JAX path everywhere plus interpret-mode golden checks).
+
+Pallas forward kernels are used on inference paths; training takes the
+pure-JAX path (XLA-derived gradients) until custom VJP kernels land.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def _pallas_compiles() -> bool:
+    """Probe: can this backend actually compile a Mosaic kernel?
+    (Some tunneled/relay TPU setups route XLA fine but cannot reach a
+    Mosaic compile helper — fall back to pure JAX there.) Broken
+    helpers fail fast (HTTP 500); a cold-but-working helper may take
+    minutes once per machine, which is acceptable to pay here."""
+    if pallas_interpret():
+        return True  # interpret mode always works
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    try:
+        def k(x_ref, o_ref):
+            o_ref[:] = x_ref[:] + 1.0
+        out = pl.pallas_call(
+            k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        )(jnp.zeros((8, 128), jnp.float32))
+        return bool(out[0, 0] == 1.0)
+    except Exception:  # noqa: BLE001 — any compile failure
+        from ..logging import warn
+        warn("Pallas/Mosaic compilation unavailable on this backend; "
+             "falling back to pure-JAX kernels")
+        return False
+
+
+@lru_cache(maxsize=1)
+def use_pallas() -> bool:
+    env = os.environ.get("NM_USE_PALLAS")
+    if env is not None:
+        enabled = env not in ("0", "false", "False", "")
+        return enabled and _pallas_compiles()
+    try:
+        import jax
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    if platform not in ("tpu", "axon"):
+        return False
+    return _pallas_compiles()
+
+
+def pallas_interpret() -> bool:
+    """Interpret mode for CPU-side testing of the kernels."""
+    import jax
+    return jax.devices()[0].platform not in ("tpu", "axon")

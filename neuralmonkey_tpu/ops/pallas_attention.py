@@ -1,0 +1,305 @@
+"""Pallas TPU attention kernels.
+
+1. :func:`flash_attention` — blockwise (FlashAttention-style) fused
+   score→softmax→context for multi-head attention: the O(T²) score
+   matrix never materializes in HBM; each (q-block, kv-block) tile is
+   computed in VMEM with the numerically-stable running-max/-sum
+   rescaling.
+2. :func:`fused_bahdanau_step` — one decoder step of Bahdanau
+   attention (energies = v·tanh(keys + query), masked softmax, context)
+   fused into a single kernel so the per-step intermediates
+   (B, T, A) never leave VMEM (BASELINE.json: "fused attention
+   score→softmax→context").
+
+Both are golden-tested against the pure-JAX references
+(ops/attention.py / models/attention/feed_forward.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from .kernel_config import pallas_interpret
+
+NEG_INF = -1e9
+
+
+# ---------------------------------------------------------------------- #
+# flash attention (forward)
+# ---------------------------------------------------------------------- #
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                  kv_len: int, block_kv: int, scale: float,
+                  causal: bool):
+    # blocks carry a leading (batch·head) dim of size 1
+    block_q = q_ref.shape[1]
+    head_dim = q_ref.shape[2]
+    q = q_ref[0] * scale
+
+    acc = jnp.zeros((block_q, head_dim), jnp.float32)
+    row_max = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    row_sum = jnp.zeros((block_q, 1), jnp.float32)
+
+    q_start = pl.program_id(1) * block_q
+    num_kv_blocks = kv_len // block_kv
+
+    def body(kv_idx, carry):
+        acc, row_max, row_sum = carry
+        kv_start = kv_idx * block_kv
+        k_blk = k_ref[0, pl.ds(kv_start, block_kv), :]
+        v_blk = v_ref[0, pl.ds(kv_start, block_kv), :]
+        # mask arrives sublane-expanded (bh, 8, Tk); read one 2-D row
+        m_blk = mask_ref[0, 0:1, pl.ds(kv_start, block_kv)]
+
+        scores = jnp.dot(q, k_blk.T,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        scores = jnp.where(m_blk > 0, scores, NEG_INF)
+        if causal:
+            q_pos = (q_start
+                     + jax.lax.broadcasted_iota(
+                         jnp.int32, (block_q, block_kv), 0))
+            k_pos = (kv_start
+                     + jax.lax.broadcasted_iota(
+                         jnp.int32, (block_q, block_kv), 1))
+            scores = jnp.where(q_pos >= k_pos, scores, NEG_INF)
+
+        new_max = jnp.maximum(row_max,
+                              jnp.max(scores, axis=1, keepdims=True))
+        correction = jnp.exp(row_max - new_max)
+        p = jnp.exp(scores - new_max)
+        new_sum = row_sum * correction + jnp.sum(p, axis=1,
+                                                 keepdims=True)
+        new_acc = acc * correction + jnp.dot(
+            p, v_blk, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        return new_acc, new_max, new_sum
+
+    acc, row_max, row_sum = jax.lax.fori_loop(
+        0, num_kv_blocks, body, (acc, row_max, row_sum))
+    o_ref[0] = (acc / jnp.maximum(row_sum, 1e-20)).astype(o_ref.dtype)
+
+
+def _reference_flash(q, k, v, mask, causal: bool):
+    from .attention import (attention_bias_from_mask, causal_bias,
+                            dot_product_attention)
+    bias = attention_bias_from_mask(mask)
+    if causal:
+        bias = bias + causal_bias(k.shape[2])[:, :, :q.shape[2], :]
+    return dot_product_attention(q, k, v, bias)
+
+
+def _flash_attention_pallas(q, k, v, mask, causal: bool,
+                            block_q: int, block_kv: int) -> jnp.ndarray:
+    batch, heads, q_len, head_dim = q.shape
+    kv_len = k.shape[2]
+    scale = 1.0 / (head_dim ** 0.5)
+
+    # TPU lanes: the last block dim must be a multiple of 128. Zero-pad
+    # the head dim — zeros are inert in both the scores and the output.
+    orig_head_dim = head_dim
+    pad_head = (-head_dim) % 128
+    if pad_head:
+        pads = ((0, 0), (0, 0), (0, 0), (0, pad_head))
+        q = jnp.pad(q, pads)
+        k = jnp.pad(k, pads)
+        v = jnp.pad(v, pads)
+        head_dim += pad_head
+
+    block_q = min(block_q, q_len)
+    block_kv = min(block_kv, kv_len)
+    if not pallas_interpret():
+        # Mosaic tiling: sublane multiple of 8, lane multiple of 128
+        block_q = max(8, ((block_q + 7) // 8) * 8)
+        block_kv = max(128, ((block_kv + 127) // 128) * 128)
+    pad_q = (-q_len) % block_q
+    pad_kv = (-kv_len) % block_kv
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    if pad_kv:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad_kv)))
+    q_pad_len = q_len + pad_q
+    kv_pad_len = kv_len + pad_kv
+
+    bh = batch * heads
+    q_flat = q.reshape(bh, q_pad_len, head_dim)
+    k_flat = k.reshape(bh, kv_pad_len, head_dim)
+    v_flat = v.reshape(bh, kv_pad_len, head_dim)
+    mask_rep = jnp.repeat(mask[:, None, :], heads,
+                          axis=1).reshape(bh, kv_pad_len)
+    # sublane-expand for Mosaic tiling (see kernel comment)
+    mask_rep = jnp.broadcast_to(mask_rep[:, None, :],
+                                (bh, 8, kv_pad_len))
+
+    kernel = functools.partial(
+        _flash_kernel, kv_len=kv_pad_len, block_kv=block_kv,
+        scale=scale, causal=causal)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, q_pad_len, head_dim),
+                                       q.dtype),
+        grid=(bh, q_pad_len // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, head_dim),
+                         lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, kv_pad_len, head_dim),
+                         lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, kv_pad_len, head_dim),
+                         lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 8, kv_pad_len), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, head_dim),
+                               lambda b, i: (b, i, 0)),
+        interpret=pallas_interpret(),
+    )(q_flat, k_flat, v_flat, mask_rep)
+
+    out = out.reshape(batch, heads, q_pad_len, head_dim)
+    if pad_q:
+        out = out[:, :, :q_len]
+    if pad_head:
+        out = out[..., :orig_head_dim]
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_attention(q, k, v, mask, causal: bool = False,
+                    block_q: int = 128, block_kv: int = 128):
+    """(B, H, Tq, D) × (B, H, Tk, D) → (B, H, Tq, D).
+
+    ``mask``: (B, Tk) float key-validity mask. Equivalent to
+    ``dot_product_attention`` with ``attention_bias_from_mask(mask)``
+    (+ causal bias when ``causal``). Backward rematerializes through
+    the pure-JAX reference.
+    """
+    return _flash_attention_pallas(q, k, v, mask, causal,
+                                   block_q, block_kv)
+
+
+def _flash_fwd(q, k, v, mask, causal, block_q, block_kv):
+    out = _flash_attention_pallas(q, k, v, mask, causal,
+                                  block_q, block_kv)
+    return out, (q, k, v, mask)
+
+
+def _flash_bwd(causal, block_q, block_kv, residuals, g):
+    q, k, v, mask = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, m_: _reference_flash(q_, k_, v_, m_, causal),
+        q, k, v, mask)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ---------------------------------------------------------------------- #
+# fused Bahdanau decoder step
+# ---------------------------------------------------------------------- #
+def _bahdanau_kernel(keys_ref, states_ref, mask_ref, pq_ref, v_ref,
+                     ctx_ref, w_ref):
+    # keys: (BT, T, A); pq: (BT, A); v: (1, A); states: (BT, T, D).
+    # No batched einsums — Mosaic lowers broadcast-multiply+reduce,
+    # not general dot_dimension_numbers.
+    tanh_term = jnp.tanh(keys_ref[:] + pq_ref[:][:, None, :])
+    energies = jnp.sum(tanh_term * v_ref[:][None, :, :], axis=-1)
+    mask = mask_ref[:]
+    energies = jnp.where(mask > 0, energies, NEG_INF)
+    weights = jnp.exp(
+        energies - jnp.max(energies, axis=1, keepdims=True))
+    weights = weights * (mask > 0)
+    weights = weights / jnp.maximum(
+        jnp.sum(weights, axis=1, keepdims=True), 1e-9)
+    ctx_ref[:] = jnp.sum(weights[:, :, None] * states_ref[:], axis=1)
+    w_ref[:] = weights
+
+
+def _reference_bahdanau(keys, states, mask, projected_query,
+                        similarity_v):
+    energies = jnp.einsum(
+        "bta,a->bt",
+        jnp.tanh(keys + projected_query[:, None, :]), similarity_v)
+    energies = jnp.where(mask > 0, energies, NEG_INF)
+    weights = jnp.exp(
+        energies - jnp.max(energies, axis=-1, keepdims=True))
+    weights = weights * (mask > 0)
+    weights = weights / jnp.maximum(
+        jnp.sum(weights, axis=-1, keepdims=True), 1e-9)
+    context = jnp.einsum("bt,btd->bd", weights, states)
+    return context, weights
+
+
+def _fused_bahdanau_pallas(keys, states, mask, projected_query,
+                           similarity_v, batch_tile: int):
+    batch, time, att_dim = keys.shape
+    state_dim = states.shape[-1]
+    batch_tile = min(batch_tile, batch)
+    pad = (-batch) % batch_tile
+    if pad:
+        keys = jnp.pad(keys, ((0, pad), (0, 0), (0, 0)))
+        states = jnp.pad(states, ((0, pad), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad), (0, 0)))
+        projected_query = jnp.pad(projected_query,
+                                  ((0, pad), (0, 0)))
+    padded = batch + pad
+
+    context, weights = pl.pallas_call(
+        _bahdanau_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((padded, state_dim), keys.dtype),
+            jax.ShapeDtypeStruct((padded, time), keys.dtype),
+        ),
+        grid=(padded // batch_tile,),
+        in_specs=[
+            pl.BlockSpec((batch_tile, time, att_dim),
+                         lambda i: (i, 0, 0)),
+            pl.BlockSpec((batch_tile, time, state_dim),
+                         lambda i: (i, 0, 0)),
+            pl.BlockSpec((batch_tile, time), lambda i: (i, 0)),
+            pl.BlockSpec((batch_tile, att_dim), lambda i: (i, 0)),
+            pl.BlockSpec((1, att_dim), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((batch_tile, state_dim), lambda i: (i, 0)),
+            pl.BlockSpec((batch_tile, time), lambda i: (i, 0)),
+        ),
+        interpret=pallas_interpret(),
+    )(keys, states, mask, projected_query, similarity_v[None, :])
+
+    if pad:
+        context = context[:batch]
+        weights = weights[:batch]
+    return context, weights
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_bahdanau_step(keys, states, mask, projected_query,
+                        similarity_v, batch_tile: int = 8):
+    """One decoder step: (context (B, D), weights (B, T)).
+
+    ``keys`` (B, T, A) are the precomputed key projections,
+    ``projected_query`` (B, A) the projected decoder state. Backward
+    rematerializes through the pure-JAX reference."""
+    return _fused_bahdanau_pallas(keys, states, mask, projected_query,
+                                  similarity_v, batch_tile)
+
+
+def _bahdanau_fwd(keys, states, mask, projected_query, similarity_v,
+                  batch_tile):
+    out = _fused_bahdanau_pallas(keys, states, mask, projected_query,
+                                 similarity_v, batch_tile)
+    return out, (keys, states, mask, projected_query, similarity_v)
+
+
+def _bahdanau_bwd(batch_tile, residuals, grads):
+    _, vjp = jax.vjp(_reference_bahdanau, *residuals)
+    return vjp(grads)
+
+
+fused_bahdanau_step.defvjp(_bahdanau_fwd, _bahdanau_bwd)

@@ -17,6 +17,16 @@ import jax
 import jax.numpy as jnp
 
 
+def _pallas_eligible(cell) -> bool:
+    from .kernel_config import use_pallas
+    from .nn import GRUCell, LayerNormGRUCell, NoisyGRUCell
+    # plain GRU equations only (Ortho differs in init, not math)
+    return (use_pallas() and type(cell).__name__ in
+            ("GRUCell", "OrthoGRUCell")
+            and isinstance(cell, GRUCell)
+            and not isinstance(cell, (LayerNormGRUCell, NoisyGRUCell)))
+
+
 def unidirectional_rnn(cell, params, inputs: jnp.ndarray,
                        mask: jnp.ndarray,
                        reverse: bool = False
@@ -27,7 +37,14 @@ def unidirectional_rnn(cell, params, inputs: jnp.ndarray,
     ``reverse=True`` the sequence is processed right-to-left (respecting
     the mask: trailing padding is skipped by the state gating) and the
     outputs are returned re-aligned to the original time order.
+
+    On TPU with plain GRU cells, dispatches to the fused Pallas scan
+    (ops/pallas_rnn.py) — same semantics, state + recurrent weights
+    pinned in VMEM.
     """
+    if _pallas_eligible(cell):
+        from .pallas_rnn import gru_scan
+        return gru_scan(params, inputs, mask, reverse)
     batch = inputs.shape[0]
     x_tm = jnp.swapaxes(inputs, 0, 1)          # (T, B, D)
     m_tm = jnp.swapaxes(mask, 0, 1)[..., None]  # (T, B, 1)

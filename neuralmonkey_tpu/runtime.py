@@ -147,6 +147,42 @@ class TPUManager:
             for key, value in padded.items()}
         return device_batch, real_size
 
+    def iter_prepared_batches(self, dataset, batching_scheme,
+                              batch_size: int, train: bool = False,
+                              prefetch_depth: int = 2):
+        """Double-buffered host->device pipeline: featurize + pad +
+        device_put run on a background thread `prefetch_depth` batches
+        ahead, so the accelerator never waits on host-side padding
+        (BASELINE.json: 'double-buffered host prefetch').
+
+        Yields (device_batch, real_size)."""
+        import queue
+        import threading
+
+        sentinel = object()
+        out_queue: "queue.Queue" = queue.Queue(maxsize=prefetch_depth)
+
+        def worker():
+            try:
+                for batch in dataset.batches(batching_scheme):
+                    out_queue.put(
+                        self.build_batch(batch, batch_size, train))
+            except BaseException as exc:  # propagate to consumer
+                out_queue.put(exc)
+                return
+            out_queue.put(sentinel)
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        while True:
+            item = out_queue.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        thread.join()
+
     # ------------------------------------------------------------------ #
     # training
     # ------------------------------------------------------------------ #
@@ -180,11 +216,17 @@ class TPUManager:
     def train_on_batch(self, trainer, dataset_batch,
                        batch_size: int) -> Dict[str, float]:
         """One training step (reference: execute with train=True)."""
+        batch, _ = self.build_batch(dataset_batch, batch_size,
+                                    train=True)
+        return self.train_on_prepared(trainer, batch)
+
+    def train_on_prepared(self, trainer,
+                          batch: Dict[str, Any]) -> Dict[str, float]:
+        """One training step on an already device-resident batch."""
         from .trainers.multitask_trainer import MultitaskTrainer
         if isinstance(trainer, MultitaskTrainer):
             trainer = trainer.select(self.global_step)
         step_fn, key = self._get_train_fn(trainer)
-        batch, _ = self.build_batch(dataset_batch, batch_size, train=True)
         step_rng = jax.random.fold_in(self._rng, self.global_step)
         new_params, new_opt_state, losses = step_fn(
             self.params_list[0], self._opt_states[key], batch, step_rng)

@@ -1,0 +1,133 @@
+"""Data-parallel correctness over the virtual 8-device CPU mesh
+(SURVEY.md §5: mesh-dimension simulation tests).
+
+The runtime shards batches over the ('data',) axis and replicates
+params; XLA inserts the gradient allreduce. These tests pin the
+numerics: a DP train step must match a single-device step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from neuralmonkey_tpu.dataset import Dataset
+from neuralmonkey_tpu.model.part import (Context, collect_parts,
+                                         init_all_params)
+from neuralmonkey_tpu.models.attention.feed_forward import Attention
+from neuralmonkey_tpu.models.decoders.decoder import Decoder
+from neuralmonkey_tpu.models.encoders.recurrent import SentenceEncoder
+from neuralmonkey_tpu.trainers.cross_entropy_trainer import \
+    CrossEntropyTrainer
+from neuralmonkey_tpu.trainers.optimizers import AdamOptimizer
+from neuralmonkey_tpu.vocabulary import Vocabulary
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert jax.device_count() >= 8, "conftest must provide 8 devices"
+    vs, vt = Vocabulary(), Vocabulary()
+    rng = np.random.RandomState(0)
+    src = [[f"s{i}" for i in rng.randint(0, 20, size=rng.randint(2, 7))]
+           for _ in range(16)]
+    tgt = [[f"t{i}" for i in rng.randint(0, 20, size=rng.randint(2, 7))]
+           for _ in range(16)]
+    for s in src:
+        vs.add_tokenized_text(s)
+    for t in tgt:
+        vt.add_tokenized_text(t)
+    enc = SentenceEncoder(name="enc", vocabulary=vs, data_id="source",
+                          embedding_size=8, rnn_size=6)
+    att = Attention(name="att", encoder=enc)
+    dec = Decoder(name="dec", vocabulary=vt, data_id="target",
+                  max_output_len=8, rnn_size=7, encoders=[enc],
+                  attentions=[att], embedding_size=8)
+    ds = Dataset("toy", {"source": src, "target": tgt})
+    parts = collect_parts([dec])
+    params = init_all_params(parts, jax.random.PRNGKey(0))
+    batch = {}
+    for p in parts:
+        batch.update(p.featurize(ds, train=False))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    trainer = CrossEntropyTrainer(
+        decoders=[dec], clip_norm=1.0,
+        optimizer=AdamOptimizer(learning_rate=1e-3))
+    return dec, trainer, params, batch
+
+
+def _train_step(trainer, tx):
+    def step(params, opt_state, batch, rng):
+        def loss_fn(p):
+            return trainer.total_loss(p, batch, rng)
+        (total, _), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, total
+    return step
+
+
+def test_dp_step_matches_single_device(setup):
+    dec, trainer, params, batch = setup
+    tx = trainer.make_optax()
+    rng = jax.random.PRNGKey(7)
+
+    # single device
+    dev0 = jax.devices()[0]
+    step1 = jax.jit(_train_step(trainer, tx))
+    p1, _, loss1 = step1(
+        jax.device_put(params, dev0),
+        jax.device_put(tx.init(params), dev0),
+        {k: jax.device_put(v, dev0) for k, v in batch.items()},
+        jax.device_put(rng, dev0))
+
+    # 8-device data-parallel
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("data",))
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    params8 = jax.device_put(params, repl)
+    batch8 = {k: jax.device_put(v, shard) for k, v in batch.items()}
+    opt8 = jax.device_put(tx.init(params), repl)
+    step8 = jax.jit(_train_step(trainer, tx))
+    p8, _, loss8 = step8(params8, opt8, batch8, rng)
+
+    assert float(loss1) == pytest.approx(float(loss8), rel=1e-5)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat8 = jax.tree_util.tree_leaves(p8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+
+
+def test_dp_decode_matches_single_device(setup):
+    dec, _, params, batch = setup
+    decode = jax.jit(
+        lambda p, b: dec.decoded(Context(p, b, train=False)))
+    ids1 = np.asarray(decode(params, batch))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("data",))
+    params8 = jax.device_put(params, NamedSharding(mesh, P()))
+    batch8 = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+              for k, v in batch.items()}
+    ids8 = np.asarray(decode(params8, batch8))
+    np.testing.assert_array_equal(ids1, ids8)
+
+
+def test_manager_uses_data_sharding(setup):
+    """TPUManager's build_batch must shard over the mesh when the batch
+    size divides the device count."""
+    from neuralmonkey_tpu.runtime import TPUManager
+    dec, trainer, params, batch = setup
+    manager = TPUManager()
+    assert manager.n_devices >= 8
+    manager.initialize_model_parts([trainer], seed=1)
+    ds = Dataset("toy", {
+        "source": [["s1", "s2"]] * 16,
+        "target": [["t1"]] * 16,
+    })
+    device_batch, real = manager.build_batch(ds, batch_size=16)
+    assert real == 16
+    ids = device_batch["enc_input.ids"]
+    assert not ids.sharding.is_fully_replicated
+    losses = manager.train_on_batch(trainer, ds, batch_size=16)
+    assert np.isfinite(losses["loss"])

@@ -1,0 +1,128 @@
+"""Golden tests: Pallas kernels vs pure-JAX reference implementations
+(interpret mode on CPU; the same code compiles on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralmonkey_tpu.ops import nn
+from neuralmonkey_tpu.ops.attention import (attention_bias_from_mask,
+                                            causal_bias,
+                                            dot_product_attention)
+from neuralmonkey_tpu.ops.pallas_attention import (flash_attention,
+                                                   fused_bahdanau_step)
+from neuralmonkey_tpu.ops.pallas_rnn import (bidirectional_gru_scan,
+                                             gru_scan)
+from neuralmonkey_tpu.ops.rnn import (bidirectional_rnn,
+                                      unidirectional_rnn)
+
+RNG = np.random.RandomState(0)
+
+
+def _mask(batch, time, lengths):
+    mask = np.zeros((batch, time), np.float32)
+    for i, l in enumerate(lengths):
+        mask[i, :l] = 1.0
+    return jnp.asarray(mask)
+
+
+# ---------------------------------------------------------------------- #
+# fused GRU scan
+# ---------------------------------------------------------------------- #
+@pytest.mark.parametrize("reverse", [False, True])
+def test_gru_scan_matches_lax_scan(reverse):
+    cell = nn.GRUCell(6, 5)
+    params = cell.init(jax.random.PRNGKey(0))
+    inputs = jnp.asarray(RNG.randn(3, 7, 6), jnp.float32)
+    mask = _mask(3, 7, [7, 4, 2])
+
+    ref_out, ref_final = unidirectional_rnn(
+        cell, params, inputs, mask, reverse=reverse)
+    out, final = gru_scan(params, inputs, mask, reverse=reverse,
+                          batch_tile=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(final),
+                               np.asarray(ref_final), atol=1e-5)
+
+
+def test_bidirectional_gru_scan():
+    fw = nn.GRUCell(4, 3)
+    bw = nn.GRUCell(4, 3)
+    p_fw = fw.init(jax.random.PRNGKey(1))
+    p_bw = bw.init(jax.random.PRNGKey(2))
+    inputs = jnp.asarray(RNG.randn(5, 6, 4), jnp.float32)
+    mask = _mask(5, 6, [6, 5, 3, 2, 1])
+
+    ref_out, ref_final = bidirectional_rnn(fw, p_fw, bw, p_bw,
+                                           inputs, mask)
+    out, final = bidirectional_gru_scan(p_fw, p_bw, inputs, mask,
+                                        batch_tile=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(final),
+                               np.asarray(ref_final), atol=1e-5)
+
+
+# ---------------------------------------------------------------------- #
+# flash attention
+# ---------------------------------------------------------------------- #
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attention_matches_reference(causal):
+    batch, heads, q_len, kv_len, dim = 2, 3, 10, 12, 8
+    q = jnp.asarray(RNG.randn(batch, heads, q_len, dim), jnp.float32)
+    k = jnp.asarray(RNG.randn(batch, heads, kv_len, dim), jnp.float32)
+    v = jnp.asarray(RNG.randn(batch, heads, kv_len, dim), jnp.float32)
+    mask = _mask(batch, kv_len, [12, 7])
+
+    bias = attention_bias_from_mask(mask)
+    if causal:
+        # causal reference only valid for square q/k
+        q = q[:, :, :kv_len - 2, :]
+        cb = causal_bias(kv_len)[:, :, :q.shape[2], :]
+        bias = bias + cb
+    ref = dot_product_attention(q, k, v, bias)
+    out = flash_attention(q, k, v, mask, causal=causal,
+                          block_q=4, block_kv=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_flash_attention_with_padding_blocks():
+    """Lengths not divisible by block sizes exercise the padding path."""
+    q = jnp.asarray(RNG.randn(1, 2, 5, 4), jnp.float32)
+    k = jnp.asarray(RNG.randn(1, 2, 9, 4), jnp.float32)
+    v = jnp.asarray(RNG.randn(1, 2, 9, 4), jnp.float32)
+    mask = _mask(1, 9, [8])
+    ref = dot_product_attention(q, k, v, attention_bias_from_mask(mask))
+    out = flash_attention(q, k, v, mask, block_q=4, block_kv=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------- #
+# fused Bahdanau step
+# ---------------------------------------------------------------------- #
+def test_fused_bahdanau_matches_reference():
+    from neuralmonkey_tpu.models.attention.base_attention import \
+        masked_softmax
+    batch, time, att_dim, state_dim = 5, 7, 6, 9
+    keys = jnp.asarray(RNG.randn(batch, time, att_dim), jnp.float32)
+    states = jnp.asarray(RNG.randn(batch, time, state_dim),
+                         jnp.float32)
+    mask = _mask(batch, time, [7, 6, 3, 2, 1])
+    pq = jnp.asarray(RNG.randn(batch, att_dim), jnp.float32)
+    v = jnp.asarray(RNG.randn(att_dim), jnp.float32)
+
+    energies = jnp.einsum("bta,a->bt",
+                          jnp.tanh(keys + pq[:, None, :]), v)
+    ref_w = masked_softmax(energies, mask)
+    ref_ctx = jnp.einsum("bt,btd->bd", ref_w, states)
+
+    ctx, weights = fused_bahdanau_step(keys, states, mask, pq, v,
+                                       batch_tile=2)
+    np.testing.assert_allclose(np.asarray(weights), np.asarray(ref_w),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ctx), np.asarray(ref_ctx),
+                               atol=1e-5)
