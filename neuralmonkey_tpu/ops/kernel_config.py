@@ -27,21 +27,28 @@ def _pallas_compiles() -> bool:
     minutes once per machine, which is acceptable to pay here."""
     if pallas_interpret():
         return True  # interpret mode always works
+    import time
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
-    try:
-        def k(x_ref, o_ref):
-            o_ref[:] = x_ref[:] + 1.0
-        out = pl.pallas_call(
-            k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-        )(jnp.zeros((8, 128), jnp.float32))
-        return bool(out[0, 0] == 1.0)
-    except Exception:  # noqa: BLE001 — any compile failure
-        from ..logging import warn
-        warn("Pallas/Mosaic compilation unavailable on this backend; "
-             "falling back to pure-JAX kernels")
-        return False
+    last_exc = None
+    for attempt in range(3):  # remote compile helpers can be flaky
+        try:
+            def k(x_ref, o_ref):
+                o_ref[:] = x_ref[:] + 1.0
+            out = pl.pallas_call(
+                k,
+                out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            )(jnp.zeros((8, 128), jnp.float32))
+            return bool(out[0, 0] == 1.0)
+        except Exception as exc:  # noqa: BLE001 — any compile failure
+            last_exc = exc
+            time.sleep(2.0 * (attempt + 1))
+    from ..logging import warn
+    warn("Pallas/Mosaic compilation unavailable on this backend "
+         f"({type(last_exc).__name__}: {str(last_exc)[:160]}); "
+         "falling back to pure-JAX kernels")
+    return False
 
 
 @lru_cache(maxsize=1)
