@@ -264,6 +264,47 @@ class AutoregressiveDecoder(ModelPart):
         sampled = jnp.swapaxes(sampled, 0, 1)
         return sampled, jnp.sum(logprobs, axis=0)
 
+    def ensemble_greedy_outputs(self, contexts: List[Context]):
+        """Greedy decode averaging E models' distributions (the
+        reference's multi-session logit averaging for the plain
+        runner). Returns (avg log-probs (B, L, V), decoded (B, L))."""
+        constants = [self.decode_constants(c) for c in contexts]
+        states = [self.decode_initial_state(c, k)
+                  for c, k in zip(contexts, constants)]
+        stacked_constants = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *constants)
+        stacked_states = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *states)
+        n_models = len(contexts)
+        batch = self._batch_size(contexts[0])
+        start_ids = jnp.full((batch,), START_TOKEN_INDEX, jnp.int32)
+        finished0 = jnp.zeros((batch,), bool)
+
+        def body(carry, step):
+            model_states, prev_ids, finished = carry
+
+            def one(c, s):
+                new_s, logits, _ = self.decode_step(
+                    c, s, prev_ids, step)
+                return new_s, jax.nn.log_softmax(logits, axis=-1)
+
+            new_states, logprobs = jax.vmap(one)(
+                stacked_constants, model_states)
+            avg = (jax.nn.logsumexp(logprobs, axis=0)
+                   - jnp.log(n_models))
+            avg = self._mask_unk(avg)
+            new_ids = jnp.argmax(avg, axis=-1).astype(jnp.int32)
+            new_ids = jnp.where(finished, PAD_TOKEN_INDEX, new_ids)
+            new_finished = finished | (new_ids == END_TOKEN_INDEX)
+            return ((new_states, new_ids, new_finished),
+                    (avg, new_ids))
+
+        _, (logprobs, decoded) = jax.lax.scan(
+            body, (stacked_states, start_ids, finished0),
+            jnp.arange(self.max_output_len))
+        return (jnp.swapaxes(logprobs, 0, 1),
+                jnp.swapaxes(decoded, 0, 1))
+
     @tensor
     def decoded(self, ctx: Context):
         _, ids, _ = self.greedy_outputs(ctx)

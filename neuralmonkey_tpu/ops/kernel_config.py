@@ -36,11 +36,16 @@ def _pallas_compiles() -> bool:
         try:
             def k(x_ref, o_ref):
                 o_ref[:] = x_ref[:] + 1.0
-            out = pl.pallas_call(
-                k,
-                out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-            )(jnp.zeros((8, 128), jnp.float32))
-            return bool(out[0, 0] == 1.0)
+            # the first use_pallas() call often happens while tracing a
+            # jitted model fn — force the probe to evaluate eagerly
+            with jax.ensure_compile_time_eval():
+                out = pl.pallas_call(
+                    k,
+                    out_shape=jax.ShapeDtypeStruct((8, 128),
+                                                   jnp.float32),
+                )(jnp.zeros((8, 128), jnp.float32))
+                ok = bool(out[0, 0] == 1.0)
+            return ok
         except Exception as exc:  # noqa: BLE001 — any compile failure
             last_exc = exc
             time.sleep(2.0 * (attempt + 1))

@@ -30,6 +30,14 @@ class GreedyRunner(BaseRunner):
             out["runtime_xent"] = self.decoder.runtime_loss(ctx)
         return out
 
+    def ensemble_fetches(self, params_list, batch) -> Dict:
+        """K restored checkpoints => average distributions per step
+        inside one jit (reference multi-session ensembling)."""
+        contexts = [Context(p, batch, train=False)
+                    for p in params_list]
+        _, decoded = self.decoder.ensemble_greedy_outputs(contexts)
+        return {"decoded": decoded}
+
     def collect_results(self, fetched, num_examples) -> ExecutionResult:
         ids = np.asarray(fetched["decoded"])[:num_examples]
         sentences = self.decoder.vocabulary.vectors_to_sentences(ids)

@@ -49,6 +49,7 @@ class TPUManager:
                  per_process_gpu_memory_fraction: float = 1.0,
                  report_gpu_memory_consumption: bool = False,
                  enable_tf_debug: bool = False,
+                 num_model_shards: int = 1,
                  random_seed: int = None) -> None:
         del (num_threads, gpu_allow_growth,
              per_process_gpu_memory_fraction,
@@ -61,11 +62,26 @@ class TPUManager:
         self.minimize_metric = minimize_metric
 
         devices = jax.devices()
-        self.mesh = jax.sharding.Mesh(
-            np.array(devices), axis_names=("data",))
         self.n_devices = len(devices)
+        # mesh: ('data',) by default; ('data', 'model') shards the
+        # vocab-sized matmuls (embeddings / logit projection) over the
+        # model axis — XLA inserts the collectives from the parameter
+        # shardings alone
+        self.num_model_shards = num_model_shards
+        if num_model_shards > 1:
+            if self.n_devices % num_model_shards:
+                raise ValueError(
+                    f"{self.n_devices} devices not divisible by "
+                    f"num_model_shards={num_model_shards}")
+            dp = self.n_devices // num_model_shards
+            self.mesh = jax.sharding.Mesh(
+                np.array(devices).reshape(dp, num_model_shards),
+                axis_names=("data", "model"))
+        else:
+            self.mesh = jax.sharding.Mesh(
+                np.array(devices), axis_names=("data",))
         log(f"TPUManager: {self.n_devices} device(s) "
-            f"[{devices[0].platform}], mesh axes ('data',)")
+            f"[{devices[0].platform}], mesh {self.mesh.shape}")
 
         self.replicated = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec())
@@ -95,6 +111,35 @@ class TPUManager:
     def params(self):
         return self.params_list[0]
 
+    def _param_shardings(self, params):
+        """Per-parameter shardings: vocab-sized tables/logit matrices
+        shard over the 'model' axis when it exists; everything else
+        replicates."""
+        if self.num_model_shards <= 1:
+            return self.replicated
+        P = jax.sharding.PartitionSpec
+
+        def spec_for(path, leaf):
+            names = [getattr(e, "key", getattr(e, "idx", ""))
+                     for e in path]
+            joined = "/".join(str(n) for n in names)
+            if leaf.ndim == 2 and leaf.shape[0] % \
+                    self.num_model_shards == 0 \
+                    and "embeddings" in joined:
+                return P("model", None)  # (V, E) over vocab
+            if leaf.ndim == 2 and joined.endswith("logit/w") \
+                    and leaf.shape[1] % self.num_model_shards == 0:
+                return P(None, "model")  # (proj, V) over vocab
+            return P()
+
+        return jax.tree_util.tree_map_with_path(
+            lambda path, leaf: jax.sharding.NamedSharding(
+                self.mesh, spec_for(path, leaf)),
+            params)
+
+    def _place_params(self, params):
+        return jax.device_put(params, self._param_shardings(params))
+
     def initialize_model_parts(self, roots: Sequence[Any],
                                seed: int = None) -> None:
         """Collect parts reachable from trainers/runners, init params."""
@@ -103,7 +148,7 @@ class TPUManager:
             self._rng = jax.random.PRNGKey(seed)
         self._rng, init_rng = jax.random.split(self._rng)
         params = init_all_params(self.parts, init_rng)
-        params = jax.device_put(params, self.replicated)
+        params = self._place_params(params)
         self.params_list = [params]
         total = sum(
             int(np.prod(x.shape))
@@ -126,7 +171,7 @@ class TPUManager:
         restored = restore_into(template, sub, prefix=prefix)
         new_params = dict(self.params_list[0])
         new_params[key] = restored
-        self.params_list[0] = jax.device_put(new_params, self.replicated)
+        self.params_list[0] = self._place_params(new_params)
         log(f"Part '{part.name}' warm-started from {path}")
 
     # ------------------------------------------------------------------ #
@@ -140,8 +185,9 @@ class TPUManager:
         for part in self.parts:
             features.update(part.featurize(dataset, train=train))
         padded, real_size = pad_batch(features, batch_size)
+        dp = self.mesh.shape["data"]
         shard = (self.data_sharded
-                 if batch_size % self.n_devices == 0 else self.replicated)
+                 if batch_size % dp == 0 else self.replicated)
         device_batch = {
             key: jax.device_put(value, shard)
             for key, value in padded.items()}
@@ -324,8 +370,7 @@ class TPUManager:
         for path in paths:
             flat = load_flat(path)
             params = restore_into(template, flat)
-            self.params_list.append(
-                jax.device_put(params, self.replicated))
+            self.params_list.append(self._place_params(params))
             log(f"Restored variables from {path}")
         meta = load_meta(paths[0])
         if meta:

@@ -113,6 +113,45 @@ def test_dp_decode_matches_single_device(setup):
     np.testing.assert_array_equal(ids1, ids8)
 
 
+def test_model_axis_sharding(setup):
+    """num_model_shards=2 shards embeddings/logit over 'model' and the
+    training step still produces the same loss as replicated."""
+    from neuralmonkey_tpu.runtime import TPUManager
+    dec, trainer, params, batch = setup
+    ds = Dataset("toy", {
+        "source": [["s1", "s2", "s3"]] * 16,
+        "target": [["t1", "t2"]] * 16,
+    })
+    results = {}
+    for shards in (1, 2):
+        manager = TPUManager(num_model_shards=shards,
+                             random_seed=3)
+        manager.initialize_model_parts([trainer], seed=3)
+        if shards > 1:
+            emb = manager.params["enc_input"]["embeddings"]
+            assert not emb.sharding.is_fully_replicated
+            logit_w = manager.params["dec"]["logit"]["w"]
+            if logit_w.shape[1] % shards == 0:
+                assert not logit_w.sharding.is_fully_replicated
+        results[shards] = manager.train_on_batch(
+            trainer, ds, batch_size=16)["loss"]
+    assert results[1] == pytest.approx(results[2], rel=1e-5)
+
+
+def test_ensemble_greedy_matches_single(setup):
+    """Ensembling two identical param sets must reproduce the single
+    model's greedy decode (runner dispatch path)."""
+    from neuralmonkey_tpu.runners.runner import GreedyRunner
+    dec, trainer, params, batch = setup
+    runner = GreedyRunner(output_series="t", decoder=dec)
+    single = jax.tree_util.tree_map(
+        np.asarray, runner.fetches(Context(params, batch)))
+    double = jax.tree_util.tree_map(
+        np.asarray, runner.ensemble_fetches([params, params], batch))
+    np.testing.assert_array_equal(single["decoded"],
+                                  double["decoded"])
+
+
 def test_manager_uses_data_sharding(setup):
     """TPUManager's build_batch must shard over the mesh when the batch
     size divides the device count."""
