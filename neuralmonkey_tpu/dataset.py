@@ -308,3 +308,7 @@ def from_dict(series: Dict[str, List[Any]],
               name: str = "runtime_dataset") -> Dataset:
     """In-memory dataset (used by the REST server)."""
     return Dataset(name=name, series=series)
+
+
+# reference-era alias
+from_files = load_dataset_from_files

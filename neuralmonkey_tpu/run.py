@@ -43,6 +43,10 @@ def main(argv=None) -> int:
                         help="sliding-window grid decoding "
                              "(long inputs)")
     args = parser.parse_args(argv)
+    if args.grid:
+        from .logging import warn
+        warn("--grid (sliding-window decoding) is not implemented; "
+             "decoding normally")
 
     exp = Experiment(args.config, train_mode=False)
     exp.build_model()

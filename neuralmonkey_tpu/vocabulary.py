@@ -286,6 +286,29 @@ def from_nematus_json(path: str, max_size: Optional[int] = None,
     return vocab
 
 
+def from_bpe(path: str, encoding: str = "utf-8") -> Vocabulary:
+    """Build a vocabulary from a BPE merges file (reference factory):
+    every merge's left/right pieces and their concatenation become
+    tokens, so any BPE-segmented text is coverable."""
+    del encoding
+    vocab = Vocabulary()
+    with _open_maybe_gzip(path) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) != 2:
+                continue
+            left, right = parts
+            merged = (left + right).replace("</w>", "")
+            for piece in (left.replace("</w>", ""), merged):
+                if piece:
+                    vocab.add_word(piece)
+                    vocab.add_word(piece + "@@")
+    log(f"Vocabulary of size {len(vocab)} built from BPE merges {path}")
+    return vocab
+
+
 def from_dataset(datasets: Sequence, series_ids: Sequence[str],
                  max_size: int, save_file: Optional[str] = None,
                  overwrite: bool = False, min_freq: Optional[int] = None,
