@@ -83,11 +83,23 @@ class Dataset:
         self.shuffled = shuffled
 
         for source, target, func in (preprocessors or []):
-            if source not in self._series:
-                raise ValueError(
-                    f"Preprocessor source series '{source}' not in dataset")
-            self._series[target] = [func(item)
-                                    for item in self._series[source]]
+            if isinstance(source, (tuple, list)):
+                # multi-series preprocessor (e.g. editops over
+                # (source, target) pairs): items are zipped tuples
+                for name in source:
+                    if name not in self._series:
+                        raise ValueError(
+                            f"Preprocessor source series '{name}' "
+                            "not in dataset")
+                items = zip(*(self._series[name] for name in source))
+                self._series[target] = [func(item) for item in items]
+            else:
+                if source not in self._series:
+                    raise ValueError(
+                        f"Preprocessor source series '{source}' not "
+                        "in dataset")
+                self._series[target] = [func(item)
+                                        for item in self._series[source]]
 
         lengths = {k: len(v) for k, v in self._series.items()}
         if len(set(lengths.values())) > 1:
@@ -128,10 +140,15 @@ class Dataset:
                      for k, v in self.series_outputs.items()})
 
     # ------------------------------------------------------------------ #
-    def batches(self, scheme: BatchingScheme) -> Iterator["Dataset"]:
-        """Yield batch sub-datasets according to *scheme*."""
+    def batches(self, scheme: BatchingScheme,
+                shuffled: Optional[bool] = None) -> Iterator["Dataset"]:
+        """Yield batch sub-datasets according to *scheme*.
+
+        ``shuffled`` overrides the dataset's own flag — evaluation code
+        passes False so outputs stay aligned with reference series even
+        when the same Dataset object is used for training."""
         order = list(range(len(self)))
-        if self.shuffled:
+        if self.shuffled if shuffled is None else shuffled:
             random.shuffle(order)
 
         if scheme.bucket_boundaries is not None:

@@ -100,7 +100,17 @@ def run_on_dataset(tf_manager, runners, dataset: Dataset,
                 warn(f"Postprocess source series '{series_name}' "
                      "not produced by any runner")
                 continue
-            outputs[series_name] = function(source)
+            # dataset-aware postprocessors (e.g. editops.Postprocess)
+            # declare a source_id and receive (dataset_item, output)
+            # pairs; plain ones get the whole output list
+            src_id = getattr(function, "source_id", None)
+            if src_id is not None:
+                src_series = dataset.get_series(src_id)
+                outputs[series_name] = [
+                    function((src, out))
+                    for src, out in zip(src_series, source)]
+            else:
+                outputs[series_name] = function(source)
 
     if write_out:
         for series_name, data in outputs.items():
@@ -200,7 +210,6 @@ def training_loop(tf_manager,
             tf_manager.epoch = epoch
             log_print("")
             log(f"Epoch {epoch} begins", color="red")
-            train_dataset.shuffled = True
             batch_size = batching_scheme.batch_size or 16
             for device_batch, _ in tf_manager.iter_prepared_batches(
                     train_dataset, batching_scheme, batch_size,

@@ -64,7 +64,10 @@ class Classifier(ModelPart):
             [self.vocabulary.get_word_index(
                 label[0] if isinstance(label, (list, tuple)) else label)
              for label in labels], np.int32)
-        return {self.label_key: ids}
+        # validity mask: batch-pad rows (zero-padded) drop out of loss
+        return {self.label_key: ids,
+                f"{self.name}.label_mask":
+                    np.ones(len(labels), np.float32)}
 
     # ------------------------------------------------------------------ #
     @tensor
@@ -82,10 +85,14 @@ class Classifier(ModelPart):
     def train_loss(self, ctx: Context):
         logits = self.logits(ctx)
         labels = ctx.batch[self.label_key]
+        weights = ctx.batch.get(
+            f"{self.name}.label_mask",
+            jnp.ones(labels.shape, jnp.float32))
         log_probs = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(
             log_probs, labels[:, None], axis=-1)[:, 0]
-        return jnp.mean(nll)
+        return jnp.sum(nll * weights) / jnp.maximum(
+            jnp.sum(weights), 1.0)
 
     def cost(self, ctx: Context):
         return self.train_loss(ctx)

@@ -60,7 +60,9 @@ class SequenceRegressor(ModelPart):
         values = dataset.get_series(self.data_id)
         arr = np.array([np.asarray(v, np.float32).reshape(-1)
                         for v in values], np.float32)
-        return {self.target_key: arr}
+        return {self.target_key: arr,
+                f"{self.name}.target_mask":
+                    np.ones(len(values), np.float32)}
 
     @tensor
     def predictions(self, ctx: Context):
@@ -76,7 +78,12 @@ class SequenceRegressor(ModelPart):
     def train_loss(self, ctx: Context):
         predictions = self.predictions(ctx)
         targets = ctx.batch[self.target_key]
-        return jnp.mean((predictions - targets) ** 2)
+        weights = ctx.batch.get(
+            f"{self.name}.target_mask",
+            jnp.ones(targets.shape[:1], jnp.float32))
+        per_example = jnp.mean((predictions - targets) ** 2, axis=-1)
+        return jnp.sum(per_example * weights) / jnp.maximum(
+            jnp.sum(weights), 1.0)
 
     def cost(self, ctx: Context):
         return self.train_loss(ctx)

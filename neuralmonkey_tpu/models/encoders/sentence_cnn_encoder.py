@@ -185,10 +185,12 @@ class SequenceCNNEncoder(ModelPart, Stateful):
         mask = self.input_sequence.temporal_mask(ctx)
         x = ctx.dropout(self, x, self.dropout_keep_prob, "input")
         pooled = []
-        neg = jnp.finfo(x.dtype).min
         for i in range(len(self.filters)):
             conv = _conv1d(x, params[f"conv_{i}"]["w"])
             conv = jax.nn.relu(conv + params[f"conv_{i}"]["b"])
-            conv = jnp.where(mask[..., None] > 0, conv, neg)
+            # masked max-pool; relu outputs are >= 0, so 0 is a safe
+            # identity even for all-padding rows (batch-pad rows must
+            # stay finite end to end)
+            conv = conv * (mask[..., None] > 0)
             pooled.append(jnp.max(conv, axis=1))
         return jnp.concatenate(pooled, axis=-1)

@@ -195,6 +195,7 @@ class TPUManager:
 
     def iter_prepared_batches(self, dataset, batching_scheme,
                               batch_size: int, train: bool = False,
+                              shuffled: bool = None,
                               prefetch_depth: int = 2):
         """Double-buffered host->device pipeline: featurize + pad +
         device_put run on a background thread `prefetch_depth` batches
@@ -210,7 +211,10 @@ class TPUManager:
 
         def worker():
             try:
-                for batch in dataset.batches(batching_scheme):
+                for batch in dataset.batches(
+                        batching_scheme,
+                        shuffled=(train if shuffled is None
+                                  else shuffled)):
                     out_queue.put(
                         self.build_batch(batch, batch_size, train))
             except BaseException as exc:  # propagate to consumer
@@ -317,7 +321,9 @@ class TPUManager:
         scheme = batching_scheme or BatchingScheme(batch_size=batch_size)
         per_script: List[List[ExecutionResult]] = [
             [] for _ in execution_scripts]
-        for batch in dataset.batches(scheme):
+        # inference iterates in dataset order (outputs must align with
+        # reference series); training shuffles
+        for batch in dataset.batches(scheme, shuffled=bool(train)):
             if train:
                 for i, script in enumerate(execution_scripts):
                     losses = self.train_on_batch(

@@ -1,0 +1,54 @@
+"""One INI per capability (the reference's integration-test strategy,
+SURVEY.md §5): each must run to completion with decreasing loss and
+produce sensible validation metrics."""
+
+import json
+import os
+
+import pytest
+
+from neuralmonkey_tpu.experiment import Experiment
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "configs")
+
+
+def _train(config, out, extra=()):
+    exp = Experiment(
+        os.path.join(CONFIG_DIR, config), train_mode=True,
+        config_changes=[f'main.output="{out}"',
+                        "main.logging_period=10", *extra])
+    exp.train()
+    records = [json.loads(line)
+               for line in open(os.path.join(out, "metrics.jsonl"))]
+    train = [r for r in records if r["kind"] == "train"]
+    val = [r for r in records if r["kind"] == "val"]
+    assert train[-1]["loss"] < train[0]["loss"], "loss did not decrease"
+    return exp, val
+
+
+def test_labeler_ini(tmp_path):
+    _, val = _train("labeler.ini", str(tmp_path / "lab"))
+    assert val
+    # parity tagging from word identity is learnable
+    assert val[-1]["tags/Accuracy"] > 0.5
+
+
+def test_classifier_ini(tmp_path):
+    _, val = _train("classifier.ini", str(tmp_path / "cls"))
+    assert val
+    assert "label/AccuracySeqLevel" in val[-1]
+
+
+def test_language_model_ini(tmp_path):
+    _, val = _train("language_model.ini", str(tmp_path / "lm"))
+    assert val
+    assert "xents" in val[-1]
+    assert val[-1]["xents"] > 0
+
+
+def test_post_edit_ini(tmp_path):
+    exp, val = _train("post_edit.ini", str(tmp_path / "pe"))
+    assert val
+    # reconstruction through edit ops + BLEU vs corrected reference;
+    # keep-heavy toy data should reach a decent score quickly
+    assert val[-1]["edits_out/BLEU-4"] > 10.0
