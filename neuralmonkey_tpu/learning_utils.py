@@ -206,18 +206,28 @@ def training_loop(tf_manager,
 
     try:
         step_losses: List[Dict[str, float]] = []
+        window_start = time.time()
+        window_examples = 0
+        window_tokens = 0
         for epoch in range(1, epochs + 1):
             tf_manager.epoch = epoch
             log_print("")
             log(f"Epoch {epoch} begins", color="red")
             batch_size = batching_scheme.batch_size or 16
-            for device_batch, _ in tf_manager.iter_prepared_batches(
-                    train_dataset, batching_scheme, batch_size,
-                    train=True):
+            for device_batch, real_size in \
+                    tf_manager.iter_prepared_batches(
+                        train_dataset, batching_scheme, batch_size,
+                        train=True):
                 losses = tf_manager.train_on_prepared(
                     trainer, device_batch)
                 step_losses.append(losses)
                 step = tf_manager.global_step
+                window_examples += real_size
+                for key, value in device_batch.items():
+                    if key.endswith("train_mask"):
+                        # device-side accumulation; synced only when
+                        # the logging period fires
+                        window_tokens = window_tokens + value.sum()
 
                 should_log = (
                     (log_steps and step % log_steps == 0)
@@ -228,11 +238,19 @@ def training_loop(tf_manager,
                         key: float(np.mean([l[key] for l in step_losses
                                             if key in l]))
                         for key in step_losses[-1]}
+                    elapsed = max(time.time() - window_start, 1e-6)
+                    mean_losses["examples_per_sec"] = (
+                        window_examples / elapsed)
+                    mean_losses["tokens_per_sec"] = (
+                        float(window_tokens) / elapsed)
                     log(f"Epoch {epoch} step {step}: "
                         f"{_format_eval(mean_losses)}")
                     metrics.write("train", step, mean_losses)
                     step_losses = []
                     last_log_time = time.time()
+                    window_start = time.time()
+                    window_examples = 0
+                    window_tokens = 0
 
                 should_val = (
                     (val_steps and step % val_steps == 0)

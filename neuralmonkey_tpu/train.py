@@ -21,12 +21,24 @@ def main(argv=None) -> int:
                         help="section.key=value config overrides")
     parser.add_argument("--overwrite", "-f", action="store_true",
                         help="overwrite the output directory")
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="write a jax.profiler trace (Perfetto/"
+                             "TensorBoard-compatible) to DIR")
     args = parser.parse_args(argv)
 
     exp = Experiment(args.config, train_mode=True,
                      overwrite_output_dir=args.overwrite,
                      config_changes=args.overrides)
-    exp.train()
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
+        try:
+            exp.train()
+        finally:
+            jax.profiler.stop_trace()
+            log(f"Profiler trace written to {args.profile}")
+    else:
+        exp.train()
     log("Done.")
     return 0
 
