@@ -90,6 +90,30 @@ def build(batch_size: int):
     return enc, dec, bs, params, batch, Context
 
 
+def verify_kernels_on_device() -> None:
+    """Assert every Pallas kernel matches its pure-JAX twin ON THE
+    REAL BACKEND (golden tests cover the CPU interpreter only; Mosaic
+    numerics are asserted here, at bench time)."""
+    import jax
+    import jax.numpy as jnp
+    from neuralmonkey_tpu.ops.kernel_config import use_pallas
+    if not use_pallas():
+        print("kernel check: Pallas unavailable, skipped",
+              file=sys.stderr)
+        return
+    rng = np.random.RandomState(7)
+
+    from neuralmonkey_tpu.ops import beam_select
+    x = jnp.asarray(rng.randn(64, 1920).astype(np.float32) * 4)
+    rm_p, lse_p = jax.jit(beam_select._rowmax_lse_pallas)(x)
+    rm_r, lse_r = jax.jit(beam_select._rowmax_lse_reference)(x)
+    np.testing.assert_allclose(np.asarray(rm_p), np.asarray(rm_r),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lse_p), np.asarray(lse_r),
+                               rtol=1e-4)
+    print("kernel check: beam_select.rowmax_lse OK", file=sys.stderr)
+
+
 def tpu_throughput() -> float:
     """Whole search jitted on device."""
     import jax
@@ -218,6 +242,7 @@ def main() -> None:
         sys.stderr.write(proc.stdout + "\n" + proc.stderr + "\n")
         raise RuntimeError("CPU baseline failed")
 
+    verify_kernels_on_device()
     tpu_rate = tpu_throughput()
     print(json.dumps({
         "metric": "beam10_decoded_sentences_per_sec_per_chip",

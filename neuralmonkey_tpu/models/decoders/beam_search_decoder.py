@@ -10,6 +10,16 @@ rebuild. Here the whole search is a single jitted ``lax.while_loop``:
   (beam·vocab) → gather-based reorder of the whole loop-state pytree by
   parent indices (static shapes, finished-beam masking — SURVEY.md
   §8.3 item 1);
+- the top-k is *hierarchical* at production vocab sizes (the round-1
+  profile showed beam bookkeeping at ~3.4 ms/step vs ~0.4 ms of model
+  compute): reduce each beam's vocab to per-128-lane row maxima, top-k
+  over rows, then the exact top-k over the selected rows' union. Any
+  row holding a global top-k element necessarily ranks in the top-k
+  rows by maximum (a row max IS an element), so the result is exact —
+  and because score = (logit − lse + logprob_sum)/penalty is a
+  monotone per-beam affine map, the row maxima are computed on raw
+  logits and only the tiny candidate set ever gets full scoring. No
+  (B, K, V)-sized intermediate is materialized;
 - early exit when every hypothesis has finished (while_loop, not scan,
   so short batches don't pay for max_steps);
 - checkpoint ensembling: E parameter sets are vmapped through the
@@ -76,6 +86,7 @@ class BeamSearchDecoder(ModelPart):
                  length_normalization: float = 0.6,
                  max_steps: int = None,
                  use_approx_top_k: bool = False,
+                 selection_method: str = "auto",
                  reuse: ModelPart = None,
                  save_checkpoint: str = None,
                  load_checkpoint: str = None) -> None:
@@ -84,11 +95,22 @@ class BeamSearchDecoder(ModelPart):
         self.parent_decoder = parent_decoder
         self.beam_size = beam_size
         self.length_normalization = length_normalization
-        self.max_steps = max_steps or parent_decoder.max_output_len
-        # TPU-native approximate top-k (recall ~0.95): measurably
-        # faster per step (~0.7 ms at 30k vocab, beam 10); selected
-        # hypotheses' scores stay exact. Off by default.
+        # KV caches / position encodings in the parent are sized by
+        # max_output_len; steps past it would silently overwrite the
+        # last cache slot (dynamic_update_slice clamps) — clamp here.
+        self.max_steps = min(max_steps or parent_decoder.max_output_len,
+                             parent_decoder.max_output_len)
+        # TPU-native approximate top-k (recall ~0.95): selected
+        # hypotheses' scores stay exact. Only used in the 'flat' path.
         self.use_approx_top_k = use_approx_top_k
+        # 'flat' = one lax.top_k over (B, K·V); 'hierarchical' = exact
+        # row-max two-stage selection (see module docstring); 'auto'
+        # picks hierarchical at vocab sizes where the flat path's
+        # full-vocab passes dominate the step.
+        if selection_method not in ("auto", "flat", "hierarchical"):
+            raise ValueError(
+                f"Unknown selection_method: {selection_method}")
+        self.selection_method = selection_method
 
     @property
     def vocabulary(self):
@@ -117,10 +139,151 @@ class BeamSearchDecoder(ModelPart):
         return self._search_impl(constants, states, batch)
 
     # ------------------------------------------------------------------ #
+    # per-step candidate selection
+    #
+    # Both selectors share one contract: given per-beam scores
+    # ``x`` (B·K, V) — raw logits (normalized=False) or proper
+    # log-probs (normalized=True) — and the current SearchState,
+    # return (parents (B,K) int32, tokens (B,K) int32,
+    # new_logprob_sum (B,K) unnormalized, top_scores (B,K) normed),
+    # best-first. Finished beams contribute exactly one candidate:
+    # PAD at zero incremental cost.
+    # ------------------------------------------------------------------ #
+    def _select_flat(self, x, normalized: bool, search: SearchState,
+                     batch: int):
+        """One lax.top_k over the full (B, K·V) score matrix."""
+        beam = self.beam_size
+        vocab = x.shape[-1]
+        logprobs = x if normalized else jax.nn.log_softmax(x, axis=-1)
+        logprobs = logprobs.reshape(batch, beam, vocab)
+
+        # finished beams may only emit PAD at zero cost
+        pad_only = jnp.full((vocab,), NEG_INF).at[
+            PAD_TOKEN_INDEX].set(0.0)
+        logprobs = jnp.where(search.finished[..., None],
+                             pad_only[None, None, :], logprobs)
+
+        total = search.logprob_sum[..., None] + logprobs
+        new_lengths = search.lengths + (~search.finished).astype(
+            jnp.int32)
+        normed = total / length_penalty(
+            new_lengths, self.length_normalization)[..., None]
+
+        flat_scores = normed.reshape(batch, beam * vocab)
+        if self.use_approx_top_k:
+            top_scores, top_idx = jax.lax.approx_max_k(
+                flat_scores, beam)
+        else:
+            top_scores, top_idx = jax.lax.top_k(flat_scores, beam)
+        parents = (top_idx // vocab).astype(jnp.int32)   # (B, K)
+        tokens = (top_idx % vocab).astype(jnp.int32)     # (B, K)
+        new_logprob = jnp.take_along_axis(
+            total.reshape(batch, beam * vocab), top_idx, axis=1)
+        return parents, tokens, new_logprob, top_scores
+
+    def _select_hier(self, x, normalized: bool, search: SearchState,
+                     batch: int):
+        """Exact two-stage selection without (B, K, V) intermediates.
+
+        Stage 1 reduces every 128-lane row of each beam's vocab to its
+        maximum (cheap lane reduction; score is a monotone per-beam
+        affine map of x, so raw-x row maxima order rows correctly),
+        takes the top-K rows, and stage 2 scores only those K rows'
+        K·128 elements exactly. Correctness: a row containing a global
+        top-K element has row-max ≥ that element, and any row whose max
+        beats the K-th element holds a top-K element itself (its max IS
+        an element) — so at most K−1 rows can outrank a top-K element's
+        row, and stage 1 never drops one. Ties may resolve differently
+        from the flat path (quality-equivalent)."""
+        beam = self.beam_size
+        vocab = x.shape[-1]
+        lane = 128
+        rows_per_beam = -(-vocab // lane)
+        vp = rows_per_beam * lane
+        if vp != vocab:
+            # 4·NEG_INF keeps padding strictly below even "dead" beam
+            # continuations (logprob_sum = NEG_INF + finite logprob)
+            x = jnp.pad(x, ((0, 0), (0, vp - vocab)),
+                        constant_values=4 * NEG_INF)
+
+        # fused single-read rowmax + logsumexp (Pallas on TPU, pure-JAX
+        # twin elsewhere). NOTE: keep the (N, R, 128) 2-D-batched shape
+        # for these reductions — reducing a (B, K, R, 128) view to
+        # (B, K, R) lowers through a pathological layout on TPU
+        # (~0.5 ms/step measured vs ~0.13 ms for this form).
+        from ...ops.beam_select import rowmax_lse
+        x32 = x.astype(jnp.float32)
+        if normalized:
+            lse = jnp.zeros((batch, beam), jnp.float32)
+            rowmax = jnp.max(
+                x32.reshape(batch * beam, rows_per_beam, lane),
+                axis=2).reshape(batch, beam, rows_per_beam)
+        else:
+            rowmax2, lse2 = rowmax_lse(x32)
+            rowmax = rowmax2.reshape(batch, beam, rows_per_beam)
+            lse = lse2.reshape(batch, beam)
+
+        new_lengths = search.lengths + (~search.finished).astype(
+            jnp.int32)
+        inv_pen = 1.0 / length_penalty(
+            new_lengths, self.length_normalization)       # (B, K)
+        # finished beams keep lengths, so inv_pen is theirs too
+        fin_score = search.logprob_sum * inv_pen
+        srow = (rowmax - lse[..., None]
+                + search.logprob_sum[..., None]) * inv_pen[..., None]
+        srow = jnp.where(search.finished[..., None], NEG_INF, srow)
+        srow = srow.at[..., 0].set(
+            jnp.where(search.finished, fin_score, srow[..., 0]))
+
+        # stage 1: top-K rows across all beams of each sentence
+        n_rows = beam * rows_per_beam
+        _, row_idx = jax.lax.top_k(
+            srow.reshape(batch, n_rows), beam)            # (B, K)
+
+        # stage 2: exact scores for the selected rows only
+        cand = jnp.take_along_axis(
+            x.reshape(batch, n_rows, lane),
+            row_idx[..., None], axis=1).astype(jnp.float32)
+        parent_of_row = (row_idx // rows_per_beam).astype(jnp.int32)
+
+        def g(arr):
+            return jnp.take_along_axis(arr, parent_of_row, axis=1)
+
+        total_cand = (cand - g(lse)[..., None]
+                      + g(search.logprob_sum)[..., None])
+        scores_cand = total_cand * g(inv_pen)[..., None]
+        v_cand = ((row_idx % rows_per_beam)[..., None] * lane
+                  + jnp.arange(lane)[None, None, :])      # (B, K, 128)
+        fin_g = g(search.finished)[..., None]
+        is_pad = v_cand == PAD_TOKEN_INDEX
+        scores_cand = jnp.where(
+            fin_g, jnp.where(is_pad, g(fin_score)[..., None], NEG_INF),
+            scores_cand)
+        total_cand = jnp.where(
+            fin_g,
+            jnp.where(is_pad, g(search.logprob_sum)[..., None],
+                      NEG_INF),
+            total_cand)
+
+        top_scores, idx2 = jax.lax.top_k(
+            scores_cand.reshape(batch, beam * lane), beam)
+        sel_row = idx2 // lane
+        sel_lane = idx2 % lane
+        parents = jnp.take_along_axis(parent_of_row, sel_row, axis=1)
+        tokens = (jnp.take_along_axis(row_idx % rows_per_beam,
+                                      sel_row, axis=1) * lane
+                  + sel_lane).astype(jnp.int32)
+        new_logprob = jnp.take_along_axis(
+            total_cand.reshape(batch, beam * lane), idx2, axis=1)
+        return parents, tokens, new_logprob, top_scores
+
+    # ------------------------------------------------------------------ #
     def _search_impl(self, constants_list, init_states, batch: int
                      ) -> BeamSearchOutput:
         parent = self.parent_decoder
         beam = self.beam_size
+        # selectors size themselves from the logits' trailing dim (a
+        # decoder may emit lane-padded logits, see _select_hier)
         vocab = len(parent.vocabulary)
         max_steps = self.max_steps
         n_models = len(constants_list)
@@ -154,12 +317,16 @@ class BeamSearchDecoder(ModelPart):
         prev_ids0 = jnp.full((batch * beam,), START_TOKEN_INDEX,
                              jnp.int32)
 
-        def model_logprobs(model_states, prev_ids, step):
-            """Averaged next-token log-probs over the ensemble."""
+        def model_scores(model_states, prev_ids, step):
+            """Per-beam next-token scores. Returns raw logits for a
+            single model (selection only needs a per-beam monotone
+            score; full normalization happens lazily inside the
+            selector) or ensemble-averaged log-probs (already
+            normalized: their logsumexp is exactly 0)."""
             if n_models == 1:
                 new_states, logits, _ = parent.decode_step(
                     stacked_constants, model_states, prev_ids, step)
-                return new_states, jax.nn.log_softmax(logits, axis=-1)
+                return new_states, logits, False
             def one(c, s):
                 new_s, logits, _ = parent.decode_step(
                     c, s, prev_ids, step)
@@ -168,7 +335,16 @@ class BeamSearchDecoder(ModelPart):
                 stacked_constants, model_states)
             # arithmetic mean of probabilities, numerically stable
             avg = jax.nn.logsumexp(logprobs, axis=0) - jnp.log(n_models)
-            return new_states, avg
+            return new_states, avg, True
+
+        method = self.selection_method
+        if method == "auto":
+            # hierarchical wins once full-vocab elementwise passes
+            # dominate; at toy vocab sizes flat is simpler and equal
+            method = ("flat" if vocab < 2048 or self.use_approx_top_k
+                      else "hierarchical")
+        select_fn = (self._select_hier if method == "hierarchical"
+                     else self._select_flat)
 
         def cond(carry):
             step, _, _, search, _ = carry
@@ -177,30 +353,10 @@ class BeamSearchDecoder(ModelPart):
 
         def body(carry):
             step, model_states, prev_ids, search, _ = carry
-            new_model_states, logprobs = model_logprobs(
+            new_model_states, x, normalized = model_scores(
                 model_states, prev_ids, step)
-            logprobs = logprobs.reshape(batch, beam, vocab)
-
-            # finished beams may only emit PAD at zero cost
-            pad_only = jnp.full((vocab,), NEG_INF).at[
-                PAD_TOKEN_INDEX].set(0.0)
-            logprobs = jnp.where(search.finished[..., None],
-                                 pad_only[None, None, :], logprobs)
-
-            total = search.logprob_sum[..., None] + logprobs
-            new_lengths = search.lengths + (~search.finished).astype(
-                jnp.int32)
-            normed = total / length_penalty(
-                new_lengths, self.length_normalization)[..., None]
-
-            flat_scores = normed.reshape(batch, beam * vocab)
-            if self.use_approx_top_k:
-                top_scores, top_idx = jax.lax.approx_max_k(
-                    flat_scores, beam)
-            else:
-                top_scores, top_idx = jax.lax.top_k(flat_scores, beam)
-            parents = (top_idx // vocab).astype(jnp.int32)   # (B, K)
-            tokens = (top_idx % vocab).astype(jnp.int32)     # (B, K)
+            parents, tokens, new_logprob, top_scores = select_fn(
+                x, normalized, search, batch)
 
             # gather beam-indexed decoder state by parents
             if n_models > 1:
@@ -228,8 +384,6 @@ class BeamSearchDecoder(ModelPart):
             # summed logprob of the selected continuation (finished
             # parents continue with PAD at zero cost, so their sum
             # stays fixed)
-            new_logprob = jnp.take_along_axis(
-                total.reshape(batch, beam * vocab), top_idx, axis=1)
             new_finished = old_finished | (emit == END_TOKEN_INDEX)
             new_len = old_lengths + (~old_finished).astype(jnp.int32)
 

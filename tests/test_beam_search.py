@@ -131,3 +131,69 @@ def test_runner_rank_validation(model):
     bs = BeamSearchDecoder(name="bs", parent_decoder=dec, beam_size=3)
     with pytest.raises(ValueError):
         BeamSearchRunner(output_series="t", decoder=bs, rank=4)
+
+
+def test_hierarchical_selector_matches_flat():
+    """The exact two-stage (row-max) selector must agree with the flat
+    (B, K·V) top-k on live-beam states — same parents, tokens, scores.
+    (In the dead-beam garbage region at NEG_INF, f32 ties may break
+    differently; that never affects surfaced hypotheses.)"""
+    from neuralmonkey_tpu.models.decoders.beam_search_decoder import (
+        SearchState)
+    for trial in range(20):
+        rng = np.random.RandomState(trial)
+        batch = rng.randint(1, 5)
+        beam = rng.randint(2, 8)
+        vocab = int(rng.choice([64, 100, 128, 300, 1000, 3001]))
+        bs = BeamSearchDecoder.__new__(BeamSearchDecoder)
+        bs.beam_size = beam
+        bs.length_normalization = float(rng.choice([0.0, 0.6, 1.0]))
+        bs.use_approx_top_k = False
+        x = jnp.asarray(rng.randn(batch * beam, vocab)
+                        .astype(np.float32) * 3)
+        search = SearchState(
+            logprob_sum=jnp.asarray(
+                (-rng.rand(batch, beam) * 10).astype(np.float32)),
+            lengths=jnp.asarray(
+                rng.randint(0, 9, (batch, beam)).astype(np.int32)),
+            finished=jnp.asarray(rng.rand(batch, beam) < 0.3),
+            token_ids=jnp.zeros((batch, beam, 10), jnp.int32))
+        for normalized in (False, True):
+            xx = jax.nn.log_softmax(x, -1) if normalized else x
+            flat = bs._select_flat(xx, normalized, search, batch)
+            hier = bs._select_hier(xx, normalized, search, batch)
+            np.testing.assert_array_equal(
+                np.asarray(flat[0]), np.asarray(hier[0]))  # parents
+            np.testing.assert_array_equal(
+                np.asarray(flat[1]), np.asarray(hier[1]))  # tokens
+            np.testing.assert_allclose(
+                np.asarray(flat[2]), np.asarray(hier[2]), atol=1e-4)
+            np.testing.assert_allclose(
+                np.asarray(flat[3]), np.asarray(hier[3]), atol=1e-5)
+
+
+def test_hierarchical_full_search_matches_flat(model):
+    """Whole-search equivalence through the jitted while_loop."""
+    dec, params, batch = model
+    outs = {}
+    for method in ("flat", "hierarchical"):
+        bs = BeamSearchDecoder(
+            name="bs_sel_" + method, parent_decoder=dec, beam_size=3,
+            length_normalization=0.6, selection_method=method)
+        out = jax.jit(
+            lambda p, b, bs=bs: bs.search(Context(p, b, train=False))
+        )(params, batch)
+        outs[method] = jax.tree_util.tree_map(np.asarray, out)
+    np.testing.assert_array_equal(outs["flat"].token_ids,
+                                  outs["hierarchical"].token_ids)
+    np.testing.assert_allclose(outs["flat"].scores,
+                               outs["hierarchical"].scores, atol=1e-5)
+
+
+def test_max_steps_clamped_to_parent(model):
+    """KV caches are sized by the parent's max_output_len; a larger
+    max_steps must be clamped, not silently overrun the caches."""
+    dec, params, batch = model
+    bs = BeamSearchDecoder(name="bs_clamp", parent_decoder=dec,
+                           beam_size=2, max_steps=100)
+    assert bs.max_steps == dec.max_output_len

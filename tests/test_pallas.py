@@ -126,3 +126,29 @@ def test_fused_bahdanau_matches_reference():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(ctx), np.asarray(ref_ctx),
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------- #
+@pytest.mark.parametrize("shape", [(16, 256), (8, 128), (64, 3840),
+                                   (40, 1280)])
+def test_rowmax_lse_matches_reference(shape):
+    """Fused beam-selection reductions (one HBM read on TPU) vs the
+    pure-JAX twin."""
+    from neuralmonkey_tpu.ops.beam_select import (_rowmax_lse_pallas,
+                                                  _rowmax_lse_reference)
+    n, vp = shape
+    x = jnp.asarray(RNG.randn(n, vp).astype(np.float32) * 4)
+    rm_p, lse_p = _rowmax_lse_pallas(x)    # interpret mode on CPU
+    rm_r, lse_r = _rowmax_lse_reference(x)
+    np.testing.assert_allclose(np.asarray(rm_p), np.asarray(rm_r),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lse_p), np.asarray(lse_r),
+                               rtol=1e-6)
+
+
+def test_rowmax_lse_dispatch_shapes():
+    """Non-kernel-eligible shapes fall back to the reference."""
+    from neuralmonkey_tpu.ops.beam_select import rowmax_lse
+    x = jnp.asarray(RNG.randn(5, 256).astype(np.float32))  # N % 8 != 0
+    rm, lse = rowmax_lse(x)
+    assert rm.shape == (5, 2) and lse.shape == (5,)
