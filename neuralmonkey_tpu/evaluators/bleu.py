@@ -2,9 +2,12 @@
 
 Pure-Python corpus-level BLEU with the reference's semantics: modified
 n-gram precisions up to ``n`` (default 4), geometric mean, brevity
-penalty, and +1 smoothing of higher-order precisions when a precision is
-zero (NIST-style, matching the reference's smoothing so validation
-curves are comparable).
+penalty. Zero precisions are handled with exponential smoothing in the
+style of Chen & Cherry (2014) smoothing 3 — each zero-match order k
+contributes precision 1/(2^j · total_k), j counting the zero orders so
+far. On corpora with no higher-order matches this differs from NIST +1
+smoothing (the reference used a raw geometric mean that hit -inf there;
+any positive-match corpus scores identically).
 """
 
 from __future__ import annotations

@@ -179,10 +179,12 @@ class Experiment:
                 trainer = trainer[0]
 
         if self.cont_index > 0:
-            # resume from the latest saved variables
+            # resume from the latest saved variables + optimizer state
             latest = self._latest_checkpoint()
             if latest:
                 self.tf_manager.restore([latest])
+                self.tf_manager.load_optimizer_state(
+                    os.path.join(self.output_dir, "variables.data"))
                 log(f"Continuation run: restored {latest}")
 
         batching = model.batching_scheme or BatchingScheme(
@@ -219,11 +221,10 @@ class Experiment:
             output_dir=self.output_dir)
 
     def _latest_checkpoint(self) -> Optional[str]:
+        """Most recent checkpoint for continuation (reference Saver
+        semantics: resume from the latest save, not the best one)."""
         if not self.output_dir or not os.path.isdir(self.output_dir):
             return None
-        best = os.path.join(self.output_dir, "variables.data.best")
-        if os.path.exists(best):
-            return best
         candidates = sorted(
             (name for name in os.listdir(self.output_dir)
              if name.startswith("variables.data-")
@@ -231,6 +232,9 @@ class Experiment:
             key=lambda n: int(n.rsplit("-", 1)[-1]))
         if candidates:
             return os.path.join(self.output_dir, candidates[-1])
+        best = os.path.join(self.output_dir, "variables.data.best")
+        if os.path.exists(best):
+            return best
         return None
 
     # ------------------------------------------------------------------ #

@@ -147,6 +147,23 @@ def evaluation(evaluators: List[Tuple[str, str, Any]], dataset: Dataset,
     return eval_result
 
 
+def validation_score(eval_result: Dict[str, float],
+                     main_metric: Optional[str],
+                     minimize_metric: bool) -> Optional[float]:
+    """Score used for best-checkpoint tracking. Falls back to
+    runtime_xent when the main metric is absent; the fallback's
+    direction matches the manager's comparison convention (lower
+    cross-entropy is always better). Returns None when no usable
+    metric exists — callers must then skip best-tracking."""
+    score = eval_result.get(main_metric) if main_metric else None
+    if score is not None:
+        return score
+    xent = eval_result.get("runtime_xent")
+    if xent is None:
+        return None
+    return xent if minimize_metric else -xent
+
+
 def _format_eval(eval_result: Dict[str, float]) -> str:
     return "    ".join(f"{name}: {value:.4g}"
                        for name, value in sorted(eval_result.items()))
@@ -195,14 +212,25 @@ def training_loop(tf_manager,
                 f"{_format_eval(eval_result)}", color="blue")
             metrics.write(tag, step, eval_result)
             if vi == len(val_datasets) - 1:
-                score = eval_result.get(main_metric)
+                score = validation_score(
+                    eval_result, main_metric,
+                    tf_manager.minimize_metric)
                 if score is None:
-                    score = -eval_result.get("runtime_xent",
-                                             float("inf"))
+                    # neither metric exists: skip best-tracking
+                    # entirely (recording a sentinel would block all
+                    # future .best updates)
+                    warn(f"Validation produced neither "
+                         f"'{main_metric}' nor 'runtime_xent'; "
+                         "best-checkpoint tracking skipped")
+                    continue
                 is_best = tf_manager.validation_hook(
                     score, step, epoch, var_path)
                 if is_best and outputs:
                     _log_examples(val_dataset, outputs, evaluators)
+
+    if initial_test and val_datasets:
+        # reference semantics: run a validation pass before training
+        validate(0, 0)
 
     try:
         step_losses: List[Dict[str, float]] = []
@@ -266,8 +294,7 @@ def training_loop(tf_manager,
     # final validation + save
     if val_datasets and not interrupted:
         validate(tf_manager.global_step, tf_manager.epoch)
-    tf_manager.save(var_path)
-    tf_manager.save_optimizer_state(var_path)
+    tf_manager.save(var_path)  # also persists optimizer state
 
     log(f"Training finished. Best score: {tf_manager.best_score} "
         f"(step {tf_manager.best_score_step}, "

@@ -101,8 +101,15 @@ class TPUManager:
         self._train_fns: Dict[int, Callable] = {}
         self._opt_states: Dict[int, Any] = {}
         self._opt_templates: Dict[int, Any] = {}
+        self._opt_labels: Dict[int, str] = {}
+        # optimizer state loaded from disk before any train step has
+        # materialized the optax state; applied lazily by label
+        self._pending_opt_flat: Optional[Dict[str, np.ndarray]] = None
         self._fetch_fns: Dict[int, Callable] = {}
         self._checkpoint_paths: List[str] = []
+        # ex-best checkpoints protected from rotation while the .best
+        # link pointed at them; swept once the link moves on
+        self._protected_paths: List[str] = []
 
     # ------------------------------------------------------------------ #
     # model lifecycle
@@ -259,9 +266,38 @@ class TPUManager:
             self._train_fns[key] = jax.jit(
                 step_fn, donate_argnums=(0, 1))
             opt_state = tx.init(self.params_list[0])
+            label = self._trainer_label(trainer)
+            self._opt_labels[key] = label
+            if self._pending_opt_flat is not None:
+                prefix = f"{label}/"
+                sub = {k: v for k, v in self._pending_opt_flat.items()
+                       if k.startswith(prefix)}
+                if sub:
+                    try:
+                        opt_state = restore_into(
+                            opt_state, sub, prefix=prefix)
+                        log(f"Optimizer state restored for trainer "
+                            f"'{label}'")
+                    except (KeyError, ValueError) as exc:
+                        warn("Optimizer state in checkpoint does not "
+                             f"match trainer '{label}' ({exc}); "
+                             "reinitializing")
+                else:
+                    warn(f"No optimizer state for trainer '{label}' "
+                         "in checkpoint; reinitializing")
             self._opt_states[key] = jax.device_put(
                 opt_state, self.replicated)
         return self._train_fns[key], key
+
+    @staticmethod
+    def _trainer_label(trainer) -> str:
+        """Stable (across processes) identity for a trainer's optimizer
+        state — id() keys don't survive a restart."""
+        objectives = getattr(trainer, "objectives", None)
+        base = getattr(trainer, "name", type(trainer).__name__)
+        if objectives:
+            return base + ":" + "+".join(o.name for o in objectives)
+        return base
 
     def train_on_batch(self, trainer, dataset_batch,
                        batch_size: int) -> Dict[str, float]:
@@ -348,24 +384,65 @@ class TPUManager:
                   meta={"step": step, "epoch": self.epoch,
                         "best_score": self.best_score})
         self._checkpoint_paths.append(ckpt_path)
+        link = path + ".best"
+
+        def _is_best_target(p: str) -> bool:
+            return (os.path.islink(link)
+                    and os.path.realpath(link) == os.path.realpath(p))
+
+        def _remove(p: str) -> None:
+            if os.path.exists(p):
+                os.remove(p)
+            for suffix in (".meta.json",):
+                if os.path.exists(p + suffix):
+                    os.remove(p + suffix)
+
         while len(self._checkpoint_paths) > self.max_to_keep:
             stale = self._checkpoint_paths.pop(0)
-            link = path + ".best"
-            is_best = (os.path.islink(link)
-                       and os.path.realpath(link)
-                       == os.path.realpath(stale))
-            if not is_best and os.path.exists(stale):
-                os.remove(stale)
-                for suffix in (".meta.json",):
-                    if os.path.exists(stale + suffix):
-                        os.remove(stale + suffix)
+            if _is_best_target(stale):
+                # keep while .best points here; sweep once it moves on
+                self._protected_paths.append(stale)
+            else:
+                _remove(stale)
+        for stale in list(self._protected_paths):
+            if not _is_best_target(stale):
+                _remove(stale)
+                self._protected_paths.remove(stale)
+        # keep the optimizer state consistent with the newest
+        # checkpoint so --cont resumes optimizer moments, not zeros
+        self.save_optimizer_state(path)
         log(f"Checkpoint saved to {ckpt_path}")
         return ckpt_path
 
     def save_optimizer_state(self, path: str) -> None:
+        """Persist every trainer's optax state (keyed by stable trainer
+        label) so a --cont run resumes Adam moments / MultiSteps
+        accumulators instead of resetting them."""
+        if not self._opt_states:
+            return
+        combined: Dict[str, np.ndarray] = {}
         for key, opt_state in self._opt_states.items():
-            save_tree(f"{path}.opt", opt_state)
-            break  # single-trainer continuation support
+            label = self._opt_labels[key]
+            for name, value in flatten_tree(opt_state).items():
+                combined[f"{label}/{name}"] = value
+        opt_path = f"{path}.opt"
+        tmp_path = opt_path + ".tmp"
+        with open(tmp_path, "wb") as f:
+            np.savez(f, **combined)
+        os.replace(tmp_path, opt_path)
+
+    def load_optimizer_state(self, path: str) -> None:
+        """Stage optimizer state from ``<path>.opt`` (written by
+        save_optimizer_state). Applied lazily: optax states only
+        materialize on the first train step per trainer, so the flat
+        blob is held until then and matched by trainer label."""
+        opt_path = f"{path}.opt"
+        if not os.path.exists(opt_path):
+            warn(f"No optimizer state at {opt_path}; "
+                 "optimizer will start fresh")
+            return
+        self._pending_opt_flat = load_flat(opt_path)
+        log(f"Optimizer state staged from {opt_path}")
 
     def restore(self, paths) -> None:
         """Restore parameters. A list of paths => checkpoint ensemble."""

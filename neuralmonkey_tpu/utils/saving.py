@@ -58,7 +58,9 @@ def load_flat(path: str) -> Dict[str, np.ndarray]:
 
 
 def load_meta(path: str) -> Optional[Dict[str, Any]]:
-    meta_path = path + ".meta.json"
+    # resolve symlinks (variables.data.best) so the target's meta
+    # file is found and e.g. global_step survives continuation
+    meta_path = os.path.realpath(path) + ".meta.json"
     if os.path.exists(meta_path):
         with open(meta_path, encoding="utf-8") as f:
             return json.load(f)

@@ -80,3 +80,21 @@ def test_restore_and_rerun(trained):
     exp.restore_variables([os.path.join(out, "variables.data.best")])
     _, outputs1 = exp.run_model(test_ds)
     assert outputs1["target"] == outputs2["target"]
+
+
+def test_validation_score_fallback_directions():
+    """Best-score fallback: direction-aware runtime_xent, None when no
+    usable metric exists (regression: -inf used to be recorded as the
+    first best, permanently blocking .best updates)."""
+    from neuralmonkey_tpu.learning_utils import validation_score
+    # main metric present: returned as-is
+    assert validation_score({"t/BLEU": 3.0}, "t/BLEU", False) == 3.0
+    # fallback: maximize convention negates xent
+    assert validation_score({"runtime_xent": 2.0}, "t/BLEU",
+                            False) == -2.0
+    # fallback under minimize convention: raw xent (lower = better)
+    assert validation_score({"runtime_xent": 2.0}, "t/BLEU",
+                            True) == 2.0
+    # nothing usable: None, never a sentinel
+    assert validation_score({}, "t/BLEU", False) is None
+    assert validation_score({}, None, True) is None
