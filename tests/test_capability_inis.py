@@ -52,3 +52,11 @@ def test_post_edit_ini(tmp_path):
     # reconstruction through edit ops + BLEU vs corrected reference;
     # keep-heavy toy data should reach a decent score quickly
     assert val[-1]["edits_out/BLEU-4"] > 10.0
+
+
+def test_ctc_ini(tmp_path):
+    """Speech: WAV -> log-mel -> BiRNN -> CTC loss, prefix-beam
+    decoding; toy tone-to-word task must be clearly learnable."""
+    _, val = _train("ctc.ini", str(tmp_path / "ctc"))
+    assert val
+    assert val[-1]["transcript/WER"] < 0.8

@@ -250,3 +250,126 @@ def test_representation_logits_tensor_runners():
         tensors=["enc.output", "clf.logits"])
     result = _fetch(tensor_runner, ctx, 2)
     assert set(result.outputs[0].keys()) == {"enc.output", "clf.logits"}
+
+
+# ---------------------------------------------------------------------- #
+# CTC prefix beam search
+# ---------------------------------------------------------------------- #
+class _FixedLogitsEnc:
+    """Minimal TemporalStateful stand-in feeding fixed frames."""
+
+    def __init__(self, mask):
+        self._mask = jnp.asarray(mask)
+
+    def temporal_mask(self, ctx):
+        return self._mask
+
+
+def _beam_on_logits(logits, mask, beam_width):
+    dec = CTCDecoder.__new__(CTCDecoder)
+    dec.beam_width = beam_width
+    dec.encoder = _FixedLogitsEnc(mask)
+    orig = CTCDecoder.logits
+    try:
+        CTCDecoder.logits = lambda self, ctx: jnp.asarray(logits)
+        prefixes, scores = CTCDecoder.beam_search.__wrapped__(
+            dec, object())
+    finally:
+        CTCDecoder.logits = orig
+    return np.asarray(prefixes), np.asarray(scores)
+
+
+def _ctc_logprob_np(lp, seq, blank=0):
+    """Exact log P(seq | frames) via the CTC forward recursion."""
+    ext = [blank]
+    for s in seq:
+        ext += [s, blank]
+    n = len(ext)
+    alpha = np.full(n, -np.inf)
+    alpha[0] = lp[0][blank]
+    if n > 1:
+        alpha[1] = lp[0][ext[1]]
+    for t in range(1, len(lp)):
+        new = np.full(n, -np.inf)
+        for s in range(n):
+            acc = alpha[s]
+            if s >= 1:
+                acc = np.logaddexp(acc, alpha[s - 1])
+            if s >= 2 and ext[s] != blank and ext[s] != ext[s - 2]:
+                acc = np.logaddexp(acc, alpha[s - 2])
+            new[s] = acc + lp[t][ext[s]]
+        alpha = new
+    out = alpha[n - 1]
+    if n > 1:
+        out = np.logaddexp(out, alpha[n - 2])
+    return out
+
+
+def test_ctc_beam_matches_exact_marginals():
+    """With the beam wide enough to hold every prefix, prefix beam
+    search is the exact DP over label sequences: its best hypothesis
+    and score must match brute-force enumeration."""
+    import itertools
+    rng = np.random.RandomState(3)
+    for trial in range(4):
+        time, vocab = rng.randint(3, 6), rng.randint(3, 5)
+        logits = rng.randn(2, time, vocab).astype(np.float32) * 2
+        mask = np.ones((2, time), np.float32)
+        if trial % 2:
+            mask[0, -1] = 0.0
+        prefixes, scores = _beam_on_logits(logits, mask, 128)
+        for b in range(2):
+            t_valid = int(mask[b].sum())
+            row = logits[b, :t_valid]
+            lp = row - np.log(np.exp(row).sum(-1, keepdims=True))
+            cands = []
+            for length in range(0, t_valid + 1):
+                for seq in itertools.product(range(1, vocab),
+                                             repeat=length):
+                    cands.append((_ctc_logprob_np(lp, seq), seq))
+            cands.sort(key=lambda x: -x[0])
+            got = tuple(int(x) for x in prefixes[b, 0] if x != 0)
+            assert got == cands[0][1]
+            assert scores[b, 0] == pytest.approx(cands[0][0],
+                                                 abs=1e-3)
+
+
+def test_ctc_beam_beats_greedy():
+    """The canonical case where per-frame argmax is wrong: blank wins
+    every frame, yet the summed paths of 'a' dominate the empty
+    sequence. Greedy collapses to nothing; the beam must find 'a'."""
+    p_blank, p_a = 0.6, 0.4
+    frame = np.log(np.array([p_blank, p_a], np.float32))
+    logits = np.tile(frame, (1, 2, 1))                 # (1, T=2, V=2)
+    mask = np.ones((1, 2), np.float32)
+    prefixes, scores = _beam_on_logits(logits, mask, 4)
+    assert tuple(int(x) for x in prefixes[0, 0] if x != 0) == (1,)
+    # P("a") = .4*.6 + .6*.4 + .4*.4 = .64 > P("") = .36
+    assert scores[0, 0] == pytest.approx(np.log(0.64), abs=1e-5)
+    # greedy on the same frames returns the empty sequence
+    greedy_frames = logits.argmax(-1)
+    assert (greedy_frames == 0).all()
+
+
+def test_ctc_beam_through_decoder_path():
+    """beam_width > 1 switches decoded() to the beam, end to end
+    through a real encoder, under jit."""
+    vt = _vocab([["x", "y", "z"]])
+    feats = [RNG.randn(t, 5).astype(np.float32) for t in (9, 7, 11)]
+    labels = [["x", "y"], ["z"], ["x", "z", "y"]]
+    ds = Dataset("d", {"feats": feats, "labels": labels})
+    enc = RawRNNEncoder(name="renc_b", data_id="feats", input_size=5,
+                        rnn_size=8)
+    ctc = CTCDecoder(name="ctc_b", encoder=enc, vocabulary=vt,
+                     data_id="labels", beam_width=4)
+    ctx, params = _run([ctc], ds)
+    decoded = np.asarray(jax.jit(
+        lambda p: ctc.decoded(Context(p, ctx.batch, train=False))
+    )(params))
+    assert decoded.shape[0] == 3
+    assert (decoded >= 0).all() and (decoded < len(vt)).all()
+    # beam-1-equivalent sanity: scores sorted best-first
+    _, scores = jax.jit(
+        lambda p: ctc.beam_search(Context(p, ctx.batch, train=False))
+    )(params)
+    assert (np.diff(np.asarray(scores), axis=1) <= 1e-6).all()
