@@ -220,6 +220,199 @@ class Dataset:
             yield self._take(batch)
 
 
+def _shuffle_stream(stream: Iterator[Any], buffer_size: int,
+                    rng: random.Random) -> Iterator[Any]:
+    """Reservoir-style shuffle buffer: hold `buffer_size` items, emit a
+    random one per incoming item (the standard streaming shuffle)."""
+    buf: List[Any] = []
+    for item in stream:
+        if len(buf) < buffer_size:
+            buf.append(item)
+            continue
+        j = rng.randrange(buffer_size)
+        out, buf[j] = buf[j], item
+        yield out
+    rng.shuffle(buf)
+    yield from buf
+
+
+class LazyDataset(Dataset):
+    """Streaming dataset: series are re-read from their files on every
+    pass instead of being materialized (reference nm/dataset.py
+    LazyDataset). Corpora larger than host RAM train fine; shuffling
+    uses a bounded buffer, and length bucketing falls back to
+    within-stream accumulation (each bucket fills and flushes as
+    examples arrive).
+
+    Batches materialize as plain in-memory :class:`Dataset` objects, so
+    everything downstream (featurize, padding, prefetch) is unchanged.
+    """
+
+    def __init__(self, name: str,
+                 series_specs: Dict[str, Tuple[List[str], Reader]],
+                 outputs: Dict[str, str] = None,
+                 preprocessors: List[Tuple] = None,
+                 buffer_size: int = 10000,
+                 shuffled: bool = False,
+                 seed: int = None) -> None:
+        # deliberately NOT calling Dataset.__init__ — no materialized
+        # series exist
+        self.name = name
+        self._specs = dict(series_specs)
+        self.series_outputs = dict(outputs or {})
+        self.preprocessors = list(preprocessors or [])
+        self.buffer_size = max(int(buffer_size or 10000), 2)
+        self.shuffled = shuffled
+        self._rng = random.Random(seed if seed is not None else 1234)
+        self._count: Optional[int] = None
+        self._derived = [t for _, t, _ in self.preprocessors]
+
+    # -- streaming core ------------------------------------------------ #
+    def _examples(self) -> Iterator[Dict[str, Any]]:
+        iterators = {key: iter(reader(paths))
+                     for key, (paths, reader) in self._specs.items()}
+        keys = list(iterators)
+        count = 0
+        while True:
+            example: Dict[str, Any] = {}
+            done = []
+            for key in keys:
+                try:
+                    example[key] = next(iterators[key])
+                except StopIteration:
+                    done.append(key)
+            if done:
+                if len(done) != len(keys):
+                    raise ValueError(
+                        f"Series of dataset '{self.name}' have "
+                        f"different lengths (exhausted: {done})")
+                break
+            for source, target, func in self.preprocessors:
+                if isinstance(source, (tuple, list)):
+                    example[target] = func(
+                        tuple(example[s] for s in source))
+                else:
+                    example[target] = func(example[source])
+            count += 1
+            yield example
+        self._count = count
+
+    def _make_batch(self, examples: List[Dict[str, Any]]) -> Dataset:
+        keys = list(self._specs) + self._derived
+        return Dataset(
+            name=f"{self.name}.batch",
+            series={k: [ex[k] for ex in examples] for k in keys})
+
+    @staticmethod
+    def _item_len(example: Dict[str, Any], ignore: Sequence[str]) -> int:
+        max_len = 0
+        for key, item in example.items():
+            if key in ignore:
+                continue
+            if hasattr(item, "__len__") and not isinstance(item, str):
+                max_len = max(max_len, len(item))
+        return max_len
+
+    # -- Dataset interface --------------------------------------------- #
+    def __len__(self) -> int:
+        if self._count is None:
+            warn(f"len() of lazy dataset '{self.name}' requires a "
+                 "full pass over the data")
+            self._count = sum(1 for _ in self._examples())
+        return self._count
+
+    @property
+    def series_ids(self) -> List[str]:
+        return list(self._specs) + self._derived
+
+    def has_series(self, name: str) -> bool:
+        return name in self._specs or name in self._derived
+
+    def get_series(self, name: str) -> List[Any]:
+        if not self.has_series(name):
+            raise KeyError(name)
+        warn(f"Materializing series '{name}' of lazy dataset "
+             f"'{self.name}' in memory")
+        return [ex[name] for ex in self._examples()]
+
+    def maybe_get_series(self, name: str) -> Optional[List[Any]]:
+        return self.get_series(name) if self.has_series(name) else None
+
+    def add_series(self, name: str, values: List[Any]) -> None:
+        raise NotImplementedError(
+            "Cannot add a series to a lazy dataset")
+
+    def subset(self, start: int, length: int) -> Dataset:
+        it = self._examples()
+        collected = []
+        for i, ex in enumerate(it):
+            if i >= start + length:
+                break
+            if i >= start:
+                collected.append(ex)
+        return self._make_batch(collected)
+
+    def batches(self, scheme: BatchingScheme,
+                shuffled: Optional[bool] = None) -> Iterator[Dataset]:
+        stream = self._examples()
+        if self.shuffled if shuffled is None else shuffled:
+            stream = _shuffle_stream(stream, self.buffer_size,
+                                     self._rng)
+
+        if scheme.bucket_boundaries is not None:
+            yield from self._bucketed_stream(stream, scheme)
+            return
+        if scheme.token_level_batching:
+            yield from self._token_stream(stream, scheme)
+            return
+        batch: List[Dict[str, Any]] = []
+        for example in stream:
+            batch.append(example)
+            if len(batch) >= scheme.batch_size:
+                yield self._make_batch(batch)
+                batch = []
+        if batch:
+            yield self._make_batch(batch)
+
+    def _bucketed_stream(self, stream, scheme) -> Iterator[Dataset]:
+        boundaries = scheme.bucket_boundaries
+        sizes = scheme.bucket_batch_sizes
+        buckets: List[List[Dict[str, Any]]] = [
+            [] for _ in range(len(boundaries) + 1)]
+        for example in stream:
+            length = self._item_len(example,
+                                    scheme.bucketing_ignore_series)
+            bucket_id = len(boundaries)
+            for b, bound in enumerate(boundaries):
+                if length <= bound:
+                    bucket_id = b
+                    break
+            buckets[bucket_id].append(example)
+            if len(buckets[bucket_id]) >= sizes[bucket_id]:
+                yield self._make_batch(buckets[bucket_id])
+                buckets[bucket_id] = []
+        for bucket in buckets:
+            if bucket:
+                yield self._make_batch(bucket)
+
+    def _token_stream(self, stream, scheme) -> Iterator[Dataset]:
+        budget = scheme.batch_size
+        batch: List[Dict[str, Any]] = []
+        max_len = 0
+        for example in stream:
+            length = max(1, self._item_len(
+                example, scheme.bucketing_ignore_series))
+            new_max = max(max_len, length)
+            if batch and new_max * (len(batch) + 1) > budget:
+                yield self._make_batch(batch)
+                batch, max_len = [], 0
+                new_max = length
+            batch.append(example)
+            max_len = new_max
+        if batch:
+            yield self._make_batch(batch)
+
+
 # ---------------------------------------------------------------------- #
 # config-visible factories (reference names preserved)
 # ---------------------------------------------------------------------- #
@@ -238,20 +431,19 @@ def _expand_paths(spec: str) -> List[str]:
 def load_dataset_from_files(name: str = None,
                             lazy: bool = False,
                             preprocessors: List[Tuple] = None,
+                            buffer_size: int = 10000,
                             **kwargs) -> Dataset:
     """Build a dataset from ``s_<series>=...`` keyword arguments.
 
     Values may be a path string (read with the plain-text reader), a
     ``(path, reader)`` tuple, or for ``s_<series>_out=`` keys an output
-    path. ``lazy`` is accepted for config compatibility; series are
-    materialized eagerly (host RAM is ample relative to these corpora and
-    eager series enable global length bucketing).
+    path. With ``lazy=True`` the series stream from disk on every pass
+    (corpora larger than host RAM train fine); shuffling then uses a
+    ``buffer_size``-bounded shuffle buffer and bucketing accumulates
+    within the stream.
     """
-    series: Dict[str, List[Any]] = {}
+    specs: Dict[str, Tuple[List[str], Reader]] = {}
     outputs: Dict[str, str] = {}
-
-    if lazy:
-        warn("lazy=True requested; series will be materialized eagerly")
 
     for key, value in kwargs.items():
         if not key.startswith(SERIES_OUTPUT_PREFIX):
@@ -269,10 +461,19 @@ def load_dataset_from_files(name: str = None,
             if not os.path.exists(p):
                 raise FileNotFoundError(
                     f"File not found for series '{series_name}': {p}")
-        series[series_name] = list(reader(paths))
+        specs[series_name] = (paths, reader)
 
     if name is None:
         name = "dataset"
+    if lazy:
+        ds: Dataset = LazyDataset(
+            name=name, series_specs=specs, outputs=outputs,
+            preprocessors=preprocessors, buffer_size=buffer_size)
+        log(f"Dataset '{name}' opened lazily, "
+            f"series {ds.series_ids}")
+        return ds
+    series = {key: list(reader(paths))
+              for key, (paths, reader) in specs.items()}
     ds = Dataset(name=name, series=series, outputs=outputs,
                  preprocessors=preprocessors)
     log(f"Dataset '{name}' loaded: {len(ds)} examples, "
@@ -288,14 +489,14 @@ def load(name: str = None,
          lazy: bool = False,
          buffer_size: int = None,
          shuffled: bool = False) -> Dataset:
-    """Newer-style reference factory: parallel ``series``/``data`` lists."""
-    del buffer_size
-    if lazy:
-        warn("lazy=True requested; series will be materialized eagerly")
+    """Newer-style reference factory: parallel ``series``/``data``
+    lists. ``lazy=True`` streams file-backed series from disk with a
+    ``buffer_size``-bounded shuffle buffer."""
     series = series or []
     data = data or []
     if len(series) != len(data):
         raise ValueError("series and data must have the same length")
+    specs: Dict[str, Tuple[List[str], Reader]] = {}
     series_dict: Dict[str, List[Any]] = {}
     for series_name, spec in zip(series, data):
         if isinstance(spec, tuple) and len(spec) == 2 \
@@ -311,8 +512,21 @@ def load(name: str = None,
             continue
         else:
             raise ValueError(f"Cannot interpret data spec {spec!r}")
-        series_dict[series_name] = list(reader(_expand_paths(path_spec)))
+        specs[series_name] = (_expand_paths(path_spec), reader)
     out_dict = {k: v for k, v in (outputs or [])}
+    if lazy:
+        if series_dict:
+            raise ValueError(
+                "lazy=True cannot mix in-memory series lists")
+        ds: Dataset = LazyDataset(
+            name=name or "dataset", series_specs=specs,
+            outputs=out_dict, preprocessors=preprocessors,
+            buffer_size=buffer_size or 10000, shuffled=shuffled)
+        log(f"Dataset '{ds.name}' opened lazily, "
+            f"series {ds.series_ids}")
+        return ds
+    for series_name, (paths, reader) in specs.items():
+        series_dict[series_name] = list(reader(paths))
     ds = Dataset(name=name or "dataset", series=series_dict,
                  outputs=out_dict, preprocessors=preprocessors,
                  shuffled=shuffled)

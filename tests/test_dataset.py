@@ -93,3 +93,97 @@ def test_from_dict_and_subset():
     sub = ds.subset(1, 2)
     assert len(sub) == 2
     assert sub.get_series("s") == [[2], [3]]
+
+
+# ---------------------------------------------------------------------- #
+# lazy / streaming datasets
+# ---------------------------------------------------------------------- #
+def _write_corpus(tmp_path, n=37):
+    src = tmp_path / "src.txt"
+    tgt = tmp_path / "tgt.txt"
+    src.write_text("\n".join(
+        " ".join(f"s{i}w{j}" for j in range(1 + i % 5))
+        for i in range(n)) + "\n")
+    tgt.write_text("\n".join(
+        " ".join(f"t{i}w{j}" for j in range(1 + (i + 2) % 4))
+        for i in range(n)) + "\n")
+    return str(src), str(tgt)
+
+
+def test_lazy_matches_eager_in_order(tmp_path):
+    from neuralmonkey_tpu.dataset import (BatchingScheme, LazyDataset,
+                                          load_dataset_from_files)
+    src, tgt = _write_corpus(tmp_path)
+    eager = load_dataset_from_files(s_source=src, s_target=tgt)
+    lazy = load_dataset_from_files(s_source=src, s_target=tgt,
+                                   lazy=True)
+    assert isinstance(lazy, LazyDataset)
+    scheme = BatchingScheme(batch_size=8)
+    for be, bl in zip(eager.batches(scheme, shuffled=False),
+                      lazy.batches(scheme, shuffled=False)):
+        assert be.get_series("source") == bl.get_series("source")
+        assert be.get_series("target") == bl.get_series("target")
+    # and a second epoch re-reads the files identically
+    first = [b.get_series("source")
+             for b in lazy.batches(scheme, shuffled=False)]
+    second = [b.get_series("source")
+              for b in lazy.batches(scheme, shuffled=False)]
+    assert first == second
+
+
+def test_lazy_streams_incrementally(tmp_path):
+    """The first batch must be produced after a bounded number of
+    reader pulls — never after materializing the whole corpus."""
+    from neuralmonkey_tpu.dataset import BatchingScheme, LazyDataset
+    pulls = []
+
+    def counting_reader(paths):
+        for i in range(10_000):
+            pulls.append(i)
+            yield [f"w{i}"]
+
+    lazy = LazyDataset("big", {"source": ([], counting_reader)},
+                       buffer_size=16)
+    batches = lazy.batches(BatchingScheme(batch_size=4), shuffled=True)
+    first = next(batches)
+    assert len(first) == 4
+    # shuffle buffer (16) + one batch of slack, not 10k
+    assert len(pulls) <= 16 + 8
+
+
+def test_lazy_shuffle_buffer_covers_all(tmp_path):
+    from neuralmonkey_tpu.dataset import (BatchingScheme,
+                                          load_dataset_from_files)
+    src, tgt = _write_corpus(tmp_path, n=25)
+    lazy = load_dataset_from_files(s_source=src, s_target=tgt,
+                                   lazy=True, buffer_size=7)
+    seen = []
+    for b in lazy.batches(BatchingScheme(batch_size=4), shuffled=True):
+        seen.extend(tuple(s) for s in b.get_series("source"))
+    assert len(seen) == 25
+    assert len(set(seen)) == 25  # every example exactly once
+
+
+def test_lazy_bucketing_and_preprocessors(tmp_path):
+    from neuralmonkey_tpu.dataset import (BatchingScheme,
+                                          load_dataset_from_files)
+    src, tgt = _write_corpus(tmp_path)
+    lazy = load_dataset_from_files(
+        s_source=src, s_target=tgt, lazy=True,
+        preprocessors=[("source", "source_up",
+                        lambda s: [t.upper() for t in s])])
+    assert lazy.has_series("source_up")
+    scheme = BatchingScheme(batch_size=6, bucket_boundaries=[2, 4])
+    total = 0
+    for b in lazy.batches(scheme, shuffled=False):
+        # bucket key = max length across series (same rule as eager)
+        lens = [max(len(s), len(t))
+                for s, t in zip(b.get_series("source"),
+                                b.get_series("target"))]
+        bucket_of = [0 if l <= 2 else (1 if l <= 4 else 2)
+                     for l in lens]
+        assert len(set(bucket_of)) == 1  # single bucket per batch
+        up = b.get_series("source_up")
+        assert all(t == t.upper() for s in up for t in s)
+        total += len(b)
+    assert total == 37
