@@ -60,3 +60,49 @@ def test_ctc_ini(tmp_path):
     _, val = _train("ctc.ini", str(tmp_path / "ctc"))
     assert val
     assert val[-1]["transcript/WER"] < 0.8
+
+
+def test_regressor_ini(tmp_path):
+    _, val = _train("regressor.ini", str(tmp_path / "reg"))
+    assert val
+    assert val[-1]["score/MSE"] < 0.01  # length/10 is linearly learnable
+
+
+def test_alignment_ini(tmp_path):
+    """Joint MT + alignment objective; attention matrices dumped by the
+    WordAlignmentRunner."""
+    _, val = _train("alignment.ini", str(tmp_path / "align"))
+    assert val
+    assert val[-1]["target/BLEU-4"] > 20.0
+
+
+def test_factored_ini(tmp_path):
+    _, val = _train("factored.ini", str(tmp_path / "fact"))
+    assert val
+    assert val[-1]["target/BLEU-4"] > 10.0
+
+
+def test_flat_multiattention_ini(tmp_path):
+    _, val = _train("flat_multiattention.ini", str(tmp_path / "flat"))
+    assert val
+    assert "target/BLEU-4" in val[-1]
+
+
+def test_sentence_cnn_ini(tmp_path):
+    _, val = _train("sentence_cnn.ini", str(tmp_path / "scnn"))
+    assert val
+    assert "target/BLEU-4" in val[-1]
+
+
+def test_self_critical_ini(tmp_path):
+    """REINFORCE with greedy baseline (self-critical) + xent warmup."""
+    _, val = _train("self_critical.ini", str(tmp_path / "sc"))
+    assert val
+    assert val[-1]["target/GLEU-4"] > 0.05
+
+
+def test_str_ini(tmp_path):
+    """String-vector reader feeding a StatefulFiller."""
+    _, val = _train("str.ini", str(tmp_path / "str"))
+    assert val
+    assert val[-1]["target/MSE"] < 2.0
