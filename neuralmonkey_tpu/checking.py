@@ -41,10 +41,14 @@ def check_dataset_and_coders(dataset: Dataset, parts) -> None:
 
 
 def hasattr_decoder(name: str, parts) -> bool:
+    """True for parts that can produce outputs without their target
+    series (anything with a decode path) — their data_id is a TARGET,
+    legitimately absent at inference time."""
     for part in parts:
         if part.name == name:
-            return hasattr(part, "train_logits") or \
-                hasattr(part, "decode_step")
+            return (hasattr(part, "train_logits")
+                    or hasattr(part, "decode_step")
+                    or hasattr(part, "decoded"))
     return False
 
 

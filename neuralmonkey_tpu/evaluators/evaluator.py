@@ -2,10 +2,10 @@
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence
+from typing import Any, Callable, List, Sequence
 
 
-def check_lengths(func):
+def check_lengths(func: Callable) -> Callable:
     def wrapper(self, hypotheses, references, *args, **kwargs):
         if len(hypotheses) != len(references):
             raise ValueError(

@@ -4,6 +4,8 @@ consumable by optax."""
 
 from __future__ import annotations
 
+from typing import Callable, Sequence
+
 import numpy as np
 
 
@@ -19,7 +21,8 @@ def noam_decay(learning_rate: float, model_dimension: int,
     return schedule
 
 
-def piecewise_constant(boundaries, values):
+def piecewise_constant(boundaries: Sequence[float],
+                       values: Sequence[float]) -> Callable:
     """Step-function schedule: values[i] until boundaries[i]."""
     if len(values) != len(boundaries) + 1:
         raise ValueError("need len(values) == len(boundaries) + 1")

@@ -36,7 +36,7 @@ def _parse_period(period) -> Tuple[Optional[int], Optional[float]]:
     return None, float(match.group(1)) * _UNIT_SECONDS[match.group(3)]
 
 
-def normalize_evaluation(evaluation) -> List[Tuple[str, str, Any]]:
+def normalize_evaluation(evaluation: Optional[Sequence]) -> List[Tuple[str, str, Any]]:
     """Normalize [main] evaluation entries to
     (hypothesis_series, reference_series, evaluator)."""
     normalized = []
@@ -227,6 +227,7 @@ def training_loop(tf_manager,
                     score, step, epoch, var_path)
                 if is_best and outputs:
                     _log_examples(val_dataset, outputs, evaluators)
+                    _write_attention_maps(results, output_dir, step)
 
     if initial_test and val_datasets:
         # reference semantics: run a validation pass before training
@@ -332,6 +333,28 @@ def _log_examples(dataset: Dataset, outputs: Dict[str, List],
         ref_str = " ".join(ref) if isinstance(ref, list) else str(ref)
         log_print(f"  [{i}] out: {hyp_str}")
         log_print(f"      ref: {ref_str}")
+
+
+def _write_attention_maps(results: List[ExecutionResult],
+                          output_dir: Optional[str],
+                          step: int, limit: int = 3) -> None:
+    """Dump the first examples' attention matrices as PNG heatmaps
+    (the reference's attention image summaries; enabled by a runner's
+    visualize_attention flag)."""
+    if output_dir is None:
+        return
+    from .utils.png import write_png
+    for result in results:
+        maps = (result.aux or {}).get("attention")
+        if maps is None:
+            continue
+        directory = os.path.join(output_dir, "attention_maps")
+        os.makedirs(directory, exist_ok=True)
+        for i, matrix in enumerate(maps[:limit]):
+            path = os.path.join(directory, f"step{step}_ex{i}.png")
+            write_png(path, np.asarray(matrix))
+        log(f"Attention maps written to {directory}")
+        break
 
 
 def print_final_evaluation(name: str,

@@ -8,6 +8,8 @@ Usage: python -m neuralmonkey_tpu.logbook --logdir <experiments_root>
 
 from __future__ import annotations
 
+from typing import List, Optional
+
 import argparse
 import html
 import json
@@ -164,7 +166,7 @@ def make_handler(logdir: str):
     return Handler
 
 
-def main(argv=None) -> int:
+def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(prog="neuralmonkey-logbook")
     parser.add_argument("--logdir", required=True,
                         help="directory containing experiment outputs")

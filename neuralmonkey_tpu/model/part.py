@@ -108,7 +108,7 @@ class ModelPart:
         return self.reuse.param_key if self.reuse is not None else self.name
 
     # ------------------------------------------------------------------ #
-    def init_params(self, rng) -> Dict[str, Any]:
+    def init_params(self, rng: Any) -> Dict[str, Any]:
         """Initialize this part's own parameters. Default: none."""
         del rng
         return {}

@@ -8,7 +8,7 @@ encoder/decoder builds on.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -69,7 +69,7 @@ class EmbeddedSequence(ModelPart, TemporalStateful):
     def mask_key(self) -> str:
         return f"{self.name}.mask"
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         if self.embeddings_init is not None:
             table = jnp.asarray(self.embeddings_init, jnp.float32)
             if table.shape != (len(self.vocabulary), self.embedding_size):
@@ -155,7 +155,7 @@ class EmbeddedFactorSequence(ModelPart, TemporalStateful):
     def mask_key(self) -> str:
         return f"{self.name}.mask"
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         tables = {}
         for i, (vocab, size) in enumerate(
                 zip(self.vocabularies, self.embedding_sizes)):

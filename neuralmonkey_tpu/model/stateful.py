@@ -22,12 +22,14 @@ shape propagation, SURVEY.md §8.3 item 4).
 
 from __future__ import annotations
 
+from typing import Any
+
 from abc import abstractmethod
 
 
 class Stateful:
     @abstractmethod
-    def output(self, ctx):  # (B, output_dim)
+    def output(self, ctx: Any):  # (B, output_dim)
         raise NotImplementedError
 
     @property
@@ -38,11 +40,11 @@ class Stateful:
 
 class TemporalStateful:
     @abstractmethod
-    def temporal_states(self, ctx):  # (B, T, state_dim)
+    def temporal_states(self, ctx: Any):  # (B, T, state_dim)
         raise NotImplementedError
 
     @abstractmethod
-    def temporal_mask(self, ctx):  # (B, T)
+    def temporal_mask(self, ctx: Any):  # (B, T)
         raise NotImplementedError
 
     @property
@@ -53,11 +55,11 @@ class TemporalStateful:
 
 class SpatialStateful:
     @abstractmethod
-    def spatial_states(self, ctx):  # (B, H, W, state_dim)
+    def spatial_states(self, ctx: Any):  # (B, H, W, state_dim)
         raise NotImplementedError
 
     @abstractmethod
-    def spatial_mask(self, ctx):  # (B, H, W)
+    def spatial_mask(self, ctx: Any):  # (B, H, W)
         raise NotImplementedError
 
     @property

@@ -52,7 +52,7 @@ class FlatMultiAttention(BaseAttention):
     def context_dim(self) -> int:
         return self.attention_state_size
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         if self.query_dim is None:
             raise ValueError(
                 f"Attention '{self.name}' has no registered query dim")
@@ -147,7 +147,7 @@ class HierarchicalMultiAttention(BaseAttention):
         for child in self.attentions:
             child.register_query_dim(query_dim)
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         if self.query_dim is None:
             raise ValueError(
                 f"Attention '{self.name}' has no registered query dim")
@@ -199,7 +199,7 @@ class HierarchicalMultiAttention(BaseAttention):
             "child_params": constants["child_params"],
         }
 
-    def step(self, params, constants, query):
+    def step(self, params: Any, constants: Any, query: Any):
         child_contexts = []
         child_weights = []
         for i, child in enumerate(self.attentions):

@@ -9,6 +9,8 @@ by XLA into a single VMEM-resident kernel per step.
 
 from __future__ import annotations
 
+from typing import Any, Dict
+
 import jax
 import jax.numpy as jnp
 
@@ -39,7 +41,7 @@ class Attention(BaseAttention):
     def context_dim(self) -> int:
         return self.encoder.state_dim
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         if self.query_dim is None:
             raise ValueError(
                 f"Attention '{self.name}' has no registered query dim "
@@ -78,7 +80,7 @@ class Attention(BaseAttention):
         context = jnp.einsum("bt,btd->bd", weights, constants.states)
         return context, weights
 
-    def attend_sequence(self, params, constants, queries):
+    def attend_sequence(self, params: Any, constants: Any, queries: Any):
         """All-steps-at-once variant for teacher forcing: queries
         (B, Tq, q) -> contexts (B, Tq, d), weights (B, Tq, T)."""
         projected = nn.linear(params["query_proj"], queries)  # (B,Tq,a)
@@ -115,7 +117,7 @@ class CoverageAttention(Attention):
     def stateful_attention(self) -> bool:
         return True
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         params = super().init_params(rng)
         k1, k2 = jax.random.split(jax.random.fold_in(rng, 7))
         params["coverage_proj"] = (
@@ -124,7 +126,8 @@ class CoverageAttention(Attention):
             k2, self.encoder.state_dim, 1, use_bias=True)
         return params
 
-    def step_with_coverage(self, params, constants, query, coverage):
+    def step_with_coverage(self, params: Any, constants: Any,
+                           query: Any, coverage: Any):
         """coverage: (B, T) accumulated weights. Returns
         (context, weights, new_coverage)."""
         fertility = self.max_fertility * jax.nn.sigmoid(
@@ -140,7 +143,7 @@ class CoverageAttention(Attention):
         context = jnp.einsum("bt,btd->bd", weights, constants.states)
         return context, weights, coverage + weights
 
-    def step(self, params, constants, query):
+    def step(self, params: Any, constants: Any, query: Any):
         # Fallback without state (coverage = 0); decoders that know about
         # stateful attentions call step_with_coverage instead.
         context, weights, _ = self.step_with_coverage(

@@ -5,6 +5,8 @@ class is the per-step RNN-decoder interface."""
 
 from __future__ import annotations
 
+from typing import Any, Dict
+
 import jax
 import jax.numpy as jnp
 
@@ -39,7 +41,7 @@ class ScaledDotProdAttention(BaseAttention):
     def context_dim(self) -> int:
         return self.values_encoder.state_dim
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         if self.query_dim is None:
             raise ValueError(
                 f"Attention '{self.name}' has no registered query dim")
@@ -70,7 +72,7 @@ class ScaledDotProdAttention(BaseAttention):
         context = jnp.einsum("bt,btd->bd", weights, constants.states)
         return context, weights
 
-    def attend_sequence(self, params, constants, queries):
+    def attend_sequence(self, params: Any, constants: Any, queries: Any):
         queries = self._project(params, queries)
         scale = 1.0 / jnp.sqrt(queries.shape[-1]).astype(queries.dtype)
         energies = jnp.einsum(

@@ -135,7 +135,8 @@ class AutoregressiveDecoder(ModelPart):
     def decode_initial_state(self, ctx: Context, constants):
         raise NotImplementedError
 
-    def decode_step(self, constants, loop_state, prev_ids, step):
+    def decode_step(self, constants: Any, loop_state: Any,
+                    prev_ids: jnp.ndarray, step: Any):
         raise NotImplementedError
 
     # ------------------------------------------------------------------ #

@@ -30,7 +30,7 @@ rebuild. Here the whole search is a single jitted ``lax.while_loop``:
 
 from __future__ import annotations
 
-from typing import Any, List, NamedTuple, Optional, Tuple
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -116,7 +116,7 @@ class BeamSearchDecoder(ModelPart):
     def vocabulary(self):
         return self.parent_decoder.vocabulary
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         return {}  # wraps the parent's parameters
 
     # ------------------------------------------------------------------ #

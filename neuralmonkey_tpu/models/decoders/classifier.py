@@ -3,7 +3,7 @@ concatenated encoder outputs -> one label per example."""
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +43,7 @@ class Classifier(ModelPart):
     def label_key(self) -> str:
         return f"{self.name}.labels"
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         params: Dict = {"mlp": []}
         dim = self.input_dim
         for size in self.layers:

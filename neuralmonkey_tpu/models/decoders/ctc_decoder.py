@@ -15,7 +15,7 @@ the beam. The blank label reuses the vocabulary's <pad>=0 slot.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +62,7 @@ class CTCDecoder(ModelPart):
     def labels_mask_key(self) -> str:
         return f"{self.name}.labels_mask"
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         return {"logit": nn.linear_init(
             rng, self.encoder.state_dim, len(self.vocabulary))}
 

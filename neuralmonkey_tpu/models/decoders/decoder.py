@@ -113,7 +113,7 @@ class Decoder(AutoregressiveDecoder):
     def output_dim(self) -> int:
         return self.rnn_size
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         keys = jax.random.split(rng, 6)
         params: Dict[str, Any] = {}
         params["cell1"] = self._cell1.init(keys[0])
@@ -178,12 +178,18 @@ class Decoder(AutoregressiveDecoder):
             weights.append(w)
         return contexts, weights, tuple(new_states)
 
-    def _cell_step(self, constants, state, att_states, embedded_prev):
+    def _cell_step(self, constants, state, att_states, embedded_prev,
+                   noise_rng=None):
         """One decoder cell step. Returns
         (new_state, prelogit_input, weights, new_att_states)."""
         params = constants["params"]
+        cell1_kwargs = ({"noise_rng": noise_rng}
+                        if noise_rng is not None
+                        and isinstance(self._cell1, nn.NoisyGRUCell)
+                        else {})
         if self.conditional_gru:
-            inter, _ = self._cell1(params["cell1"], state, embedded_prev)
+            inter, _ = self._cell1(params["cell1"], state, embedded_prev,
+                                   **cell1_kwargs)
             if self.attentions:
                 contexts, weights, new_att = self._attend_all(
                     constants, inter, att_states)
@@ -205,7 +211,8 @@ class Decoder(AutoregressiveDecoder):
                 contexts, weights, new_att = [], [], att_states
                 context_cat = None
                 cell_in = embedded_prev
-            new_state, _ = self._cell1(params["cell1"], state, cell_in)
+            new_state, _ = self._cell1(params["cell1"], state, cell_in,
+                                       **cell1_kwargs)
 
         pieces = [new_state, embedded_prev]
         if context_cat is not None:
@@ -256,15 +263,24 @@ class Decoder(AutoregressiveDecoder):
         att0 = self._att_initial_states(constants)
 
         embedded_tm = jnp.swapaxes(embedded, 0, 1)  # (T, B, E)
+        noise_base = (ctx.make_rng(self, "cell_noise")
+                      if ctx.train
+                      and isinstance(self._cell1, nn.NoisyGRUCell)
+                      else None)
+        steps = jnp.arange(embedded_tm.shape[0])
 
-        def body(carry, emb_t):
+        def body(carry, xs):
+            emb_t, t = xs
             state, att_states = carry
+            noise_rng = (jax.random.fold_in(noise_base, t)
+                         if noise_base is not None else None)
             new_state, prelogit_in, weights, new_att = self._cell_step(
-                constants, state, att_states, emb_t)
+                constants, state, att_states, emb_t,
+                noise_rng=noise_rng)
             return (new_state, new_att), (prelogit_in, tuple(weights))
 
         _, (prelogit_tm, weights_tm) = jax.lax.scan(
-            body, (s0, att0), embedded_tm)
+            body, (s0, att0), (embedded_tm, steps))
         prelogit_in = jnp.swapaxes(prelogit_tm, 0, 1)  # (B, T, P)
         prelogit_in = ctx.dropout(
             self, prelogit_in, self.dropout_keep_prob, "prelogit_dropout")
@@ -304,7 +320,8 @@ class Decoder(AutoregressiveDecoder):
         return (self.initial_state(ctx),
                 self._att_initial_states(constants))
 
-    def decode_step(self, constants, loop_state, prev_ids, step):
+    def decode_step(self, constants: Any, loop_state: Any,
+                    prev_ids: jnp.ndarray, step: Any):
         del step
         state, att_states = loop_state
         embedded_prev = jnp.take(constants["embed_table"], prev_ids,

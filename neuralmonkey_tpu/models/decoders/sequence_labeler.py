@@ -4,7 +4,7 @@ token."""
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +45,7 @@ class SequenceLabeler(ModelPart):
     def mask_key(self) -> str:
         return f"{self.name}.labels_mask"
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         params: Dict = {}
         dim = self.encoder.state_dim
         if self.hidden_dim:

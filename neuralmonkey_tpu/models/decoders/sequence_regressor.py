@@ -3,7 +3,7 @@ predicts one float per example from encoder outputs."""
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +42,7 @@ class SequenceRegressor(ModelPart):
     def target_key(self) -> str:
         return f"{self.name}.targets"
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         params: Dict = {"mlp": []}
         dim = self.input_dim
         for size in self.layers:

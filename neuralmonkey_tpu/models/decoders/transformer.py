@@ -78,7 +78,7 @@ class TransformerDecoder(AutoregressiveDecoder):
         self.embeddings.scale_embeddings_by_depth = True
 
     # ------------------------------------------------------------------ #
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         params: Dict[str, Any] = {}
         for i in range(self.depth):
             rng, k_self, k_ff = jax.random.split(rng, 3)
@@ -212,7 +212,8 @@ class TransformerDecoder(AutoregressiveDecoder):
             })
         return tuple(caches)
 
-    def decode_step(self, constants, loop_state, prev_ids, step):
+    def decode_step(self, constants: Any, loop_state: Any,
+                    prev_ids: jnp.ndarray, step: Any):
         params = constants["params"]
         table = constants["embed_table"]
         caches = loop_state

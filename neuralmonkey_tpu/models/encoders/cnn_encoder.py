@@ -17,7 +17,7 @@ image grids from sequence decoders.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -86,7 +86,7 @@ class CNNEncoder(ModelPart, SpatialStatefulWithOutput):
             return self.fully_connected[-1]
         return self._out_shape[2]
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         params: Dict = {}
         in_c = self.pixel_dim
         for i, spec in enumerate(self.convolutions):

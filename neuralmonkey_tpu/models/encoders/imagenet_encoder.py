@@ -16,7 +16,7 @@ numpy_stateful_filler.SpatialFiller.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -114,7 +114,7 @@ class ImageNet(ModelPart, SpatialStatefulWithOutput):
         return self._state_dim
 
     # ------------------------------------------------------------------ #
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         if self._is_vgg:
             return self._init_vgg(rng)
         return self._init_resnet(rng)

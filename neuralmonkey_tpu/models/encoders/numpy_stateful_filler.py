@@ -8,8 +8,9 @@ network access (SURVEY.md §8.3 item 6).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Any, Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,7 +41,7 @@ class StatefulFiller(ModelPart, Stateful):
     def output_dim(self) -> int:
         return self.output_shape or self.dimension
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         if self.output_shape and self.output_shape != self.dimension:
             return {"project": nn.linear_init(
                 rng, self.dimension, self.output_shape)}
@@ -97,7 +98,7 @@ class SpatialFiller(ModelPart, SpatialStatefulWithOutput):
     def output_dim(self) -> int:
         return self.state_dim
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         import jax
         params = {}
         if self.projection_dim:

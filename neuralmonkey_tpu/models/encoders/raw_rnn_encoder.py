@@ -4,7 +4,7 @@ CTC path. Input series items are (T, D) float arrays."""
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Any, Dict, List
 
 import jax
 import numpy as np
@@ -53,7 +53,7 @@ class RawRNNEncoder(ModelPart, TemporalStatefulWithOutput):
     def output_dim(self) -> int:
         return self._dim
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         k1, k2 = jax.random.split(rng)
         params = {"fw": self._fw.init(k1)}
         if self._bw is not None:

@@ -10,8 +10,9 @@ state on-chip.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Any, Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ...model.part import Context, ModelPart, tensor
@@ -74,7 +75,7 @@ class RecurrentEncoder(ModelPart, TemporalStatefulWithOutput):
     def output_dim(self) -> int:
         return self._layer_dims[-1]
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         import jax
         params = {}
         for i, (fw, bw) in enumerate(self._cells):
@@ -98,15 +99,21 @@ class RecurrentEncoder(ModelPart, TemporalStatefulWithOutput):
                              "input_dropout")
         final = None
         for i, (fw, bw) in enumerate(self._cells):
+            # noisy-activation cells draw annealed training noise;
+            # deterministic hard saturation at inference
+            noise_rng = (ctx.make_rng(self, f"cell_noise_{i}")
+                         if ctx.train and isinstance(fw, nn.NoisyGRUCell)
+                         else None)
             if bw is not None:
                 states, final = bidirectional_rnn(
                     fw, params[f"layer_{i}_fw"],
-                    bw, params[f"layer_{i}_bw"], states, mask)
+                    bw, params[f"layer_{i}_bw"], states, mask,
+                    noise_rng=noise_rng)
             else:
                 reverse = self.rnn_direction == "backward"
                 states, final = unidirectional_rnn(
                     fw, params[f"layer_{i}_fw"], states, mask,
-                    reverse=reverse)
+                    reverse=reverse, noise_rng=noise_rng)
             if i < len(self._cells) - 1:
                 states = ctx.dropout(
                     self, states, self.dropout_keep_prob,

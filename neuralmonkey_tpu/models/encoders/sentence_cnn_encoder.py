@@ -11,7 +11,7 @@
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,7 +76,7 @@ class SentenceCNNEncoder(ModelPart, TemporalStatefulWithOutput):
     def output_dim(self) -> int:
         return self._dim
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         params: Dict = {}
         in_dim = self.input_sequence.state_dim
         for i, (width, channels) in enumerate(self.filters):
@@ -166,7 +166,7 @@ class SequenceCNNEncoder(ModelPart, Stateful):
     def output_dim(self) -> int:
         return self._dim
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         params: Dict = {}
         in_dim = self.input_sequence.state_dim
         for i, (width, channels) in enumerate(self.filters):

@@ -8,7 +8,7 @@ scans.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -83,7 +83,7 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
     def output_dim(self) -> int:
         return self.model_dim
 
-    def init_params(self, rng):
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         params = {}
         if self.position_encoding == "learned":
             rng, sub = jax.random.split(rng)

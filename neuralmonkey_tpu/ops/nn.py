@@ -18,7 +18,7 @@ Cell equations match TF1 conventions exactly (SURVEY.md §8.3 item 3):
 from __future__ import annotations
 
 import math
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,13 +30,15 @@ Params = Dict[str, jnp.ndarray]
 # ---------------------------------------------------------------------- #
 # initializers
 # ---------------------------------------------------------------------- #
-def glorot_uniform(rng, shape, dtype=jnp.float32) -> jnp.ndarray:
+def glorot_uniform(rng: Any, shape: Sequence[int],
+                   dtype: Any = jnp.float32) -> jnp.ndarray:
     fan_in, fan_out = shape[-2], shape[-1]
     limit = math.sqrt(6.0 / (fan_in + fan_out))
     return jax.random.uniform(rng, shape, dtype, -limit, limit)
 
 
-def orthogonal(rng, shape, dtype=jnp.float32) -> jnp.ndarray:
+def orthogonal(rng: Any, shape: Sequence[int],
+               dtype: Any = jnp.float32) -> jnp.ndarray:
     """Orthogonal init (used by OrthoGRUCell for recurrent weights)."""
     if len(shape) < 2:
         raise ValueError("Orthogonal init needs >= 2 dims")
@@ -49,7 +51,8 @@ def orthogonal(rng, shape, dtype=jnp.float32) -> jnp.ndarray:
     return q[:rows, :cols].reshape(shape)
 
 
-def zeros(rng, shape, dtype=jnp.float32) -> jnp.ndarray:
+def zeros(rng: Any, shape: Sequence[int],
+          dtype: Any = jnp.float32) -> jnp.ndarray:
     del rng
     return jnp.zeros(shape, dtype)
 
@@ -157,7 +160,7 @@ class GRUCell:
         self.state_size = hidden_dim
         self.output_dim = hidden_dim
 
-    def init(self, rng) -> Params:
+    def init(self, rng: Any) -> Params:
         k1, k2, k3, k4 = jax.random.split(rng, 4)
         h = self.hidden_dim
         return {
@@ -206,7 +209,7 @@ class OrthoGRUCell(GRUCell):
 class LayerNormGRUCell(GRUCell):
     """GRU with layer normalization on gate/candidate preactivations."""
 
-    def init(self, rng) -> Params:
+    def init(self, rng: Any) -> Params:
         params = super().init(rng)
         h = self.hidden_dim
         params["ln_gates_scale"] = jnp.ones((2 * h,))
@@ -242,8 +245,21 @@ class LayerNormGRUCell(GRUCell):
 
 class NoisyGRUCell(GRUCell):
     """Noisy-activation GRU (reference nm/nn/noisy_gru_cell.py; Gülçehre
-    et al. 2016). At inference it degenerates to hard-saturating
-    activations; training noise is injected via the cell's rng hook."""
+    et al. 2016 "Noisy Activation Functions"). At inference it uses the
+    hard-saturating activations; during training, when a ``noise_rng``
+    is threaded in (recurrent scans fold a per-timestep key), half-
+    normal noise is injected in the saturated regions:
+
+        y = α·h(x) + (1−α)·u(x) + d(x)·σ(x)·|ξ|,   ξ ~ N(0, 1)
+
+    with h the hard function, u its linearization, Δ = h − u,
+    σ(x) = c·(sigmoid(Δ) − ½)² (zero in the linear region, growing
+    with saturation depth — the annealing is input-adaptive),
+    d(x) = sgn(x)·sgn(α−1).
+    """
+
+    ALPHA = 1.15
+    C = 0.5
 
     def __init__(self, input_dim: int, hidden_dim: int,
                  training: bool = False) -> None:
@@ -258,20 +274,38 @@ class NoisyGRUCell(GRUCell):
     def _hard_tanh(x):
         return jnp.clip(x, -1.0, 1.0)
 
-    def __call__(self, params, h, x):
-        gates = self._hard_sigmoid(
+    @classmethod
+    def _noisy(cls, hard_value, linear_value, x, rng):
+        delta = hard_value - linear_value
+        sigma = cls.C * jnp.square(jax.nn.sigmoid(delta) - 0.5)
+        d = jnp.sign(x) * jnp.sign(cls.ALPHA - 1.0)
+        xi = jnp.abs(jax.random.normal(rng, x.shape, x.dtype))
+        return (cls.ALPHA * hard_value
+                + (1.0 - cls.ALPHA) * linear_value
+                + d * sigma * xi)
+
+    def __call__(self, params, h, x, noise_rng=None):
+        gates_pre = (
             jnp.dot(x, params["gates_x"],
                     preferred_element_type=jnp.float32)
             + jnp.dot(h, params["gates_h"],
                       preferred_element_type=jnp.float32)
             + params["gates_b"])
+        gates = self._hard_sigmoid(gates_pre)
+        if noise_rng is not None:
+            k1, k2 = jax.random.split(noise_rng)
+            gates = self._noisy(gates, 0.25 * gates_pre + 0.5,
+                                gates_pre, k1)
         r, u = jnp.split(gates, 2, axis=-1)
-        cand = self._hard_tanh(
+        cand_pre = (
             jnp.dot(x, params["cand_x"],
                     preferred_element_type=jnp.float32)
             + jnp.dot(r * h, params["cand_h"],
                       preferred_element_type=jnp.float32)
             + params["cand_b"])
+        cand = self._hard_tanh(cand_pre)
+        if noise_rng is not None:
+            cand = self._noisy(cand, cand_pre, cand_pre, k2)
         new_h = u * h + (1.0 - u) * cand
         return new_h, new_h
 
@@ -287,7 +321,7 @@ class LSTMCell:
         self.state_size = hidden_dim
         self.output_dim = hidden_dim
 
-    def init(self, rng) -> Params:
+    def init(self, rng: Any) -> Params:
         k1, k2 = jax.random.split(rng)
         h = self.hidden_dim
         return {
@@ -313,7 +347,7 @@ class LSTMCell:
         new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
         return (new_c, new_h), new_h
 
-    def output(self, state) -> jnp.ndarray:
+    def output(self, state: Any) -> jnp.ndarray:
         return state[1]
 
 

@@ -29,7 +29,8 @@ def _pallas_eligible(cell) -> bool:
 
 def unidirectional_rnn(cell, params, inputs: jnp.ndarray,
                        mask: jnp.ndarray,
-                       reverse: bool = False
+                       reverse: bool = False,
+                       noise_rng=None
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run `cell` over `inputs` (B, T, D) with `mask` (B, T).
 
@@ -38,14 +39,18 @@ def unidirectional_rnn(cell, params, inputs: jnp.ndarray,
     the mask: trailing padding is skipped by the state gating) and the
     outputs are returned re-aligned to the original time order.
 
+    ``noise_rng`` (noisy-activation cells, training only) is folded
+    with the timestep index so every step draws fresh noise.
+
     On TPU with plain GRU cells, dispatches to the fused Pallas scan
     (ops/pallas_rnn.py) — same semantics, state + recurrent weights
     pinned in VMEM.
     """
-    if _pallas_eligible(cell):
+    if noise_rng is None and _pallas_eligible(cell):
         from .pallas_rnn import gru_scan
         return gru_scan(params, inputs, mask, reverse)
     batch = inputs.shape[0]
+    time = inputs.shape[1]
     x_tm = jnp.swapaxes(inputs, 0, 1)          # (T, B, D)
     m_tm = jnp.swapaxes(mask, 0, 1)[..., None]  # (T, B, 1)
     if reverse:
@@ -53,10 +58,16 @@ def unidirectional_rnn(cell, params, inputs: jnp.ndarray,
         m_tm = jnp.flip(m_tm, axis=0)
 
     init_state = cell.initial_state(batch, inputs.dtype)
+    steps = jnp.arange(time)
 
-    def step(state, xm):
-        x_t, m_t = xm
-        new_state, out = cell(params, state, x_t)
+    def step(state, xmt):
+        x_t, m_t, t = xmt
+        if noise_rng is not None:
+            new_state, out = cell(
+                params, state, x_t,
+                noise_rng=jax.random.fold_in(noise_rng, t))
+        else:
+            new_state, out = cell(params, state, x_t)
         # carry previous state through padding positions
         gated = jax.tree_util.tree_map(
             lambda new, old: m_t * new + (1.0 - m_t) * old,
@@ -64,7 +75,8 @@ def unidirectional_rnn(cell, params, inputs: jnp.ndarray,
         gated_out = m_t * out
         return gated, gated_out
 
-    final_state, outputs_tm = jax.lax.scan(step, init_state, (x_tm, m_tm))
+    final_state, outputs_tm = jax.lax.scan(
+        step, init_state, (x_tm, m_tm, steps))
     if reverse:
         outputs_tm = jnp.flip(outputs_tm, axis=0)
     outputs = jnp.swapaxes(outputs_tm, 0, 1)
@@ -72,16 +84,23 @@ def unidirectional_rnn(cell, params, inputs: jnp.ndarray,
 
 
 def bidirectional_rnn(fw_cell, fw_params, bw_cell, bw_params,
-                      inputs: jnp.ndarray, mask: jnp.ndarray
+                      inputs: jnp.ndarray, mask: jnp.ndarray,
+                      noise_rng=None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bidirectional RNN; concatenates directions on the feature axis.
 
     Returns ``(outputs (B, T, Hf+Hb), final (B, Hf+Hb))``.
     """
+    if noise_rng is not None:
+        fw_rng, bw_rng = jax.random.split(noise_rng)
+    else:
+        fw_rng = bw_rng = None
     fw_out, fw_final = unidirectional_rnn(
-        fw_cell, fw_params, inputs, mask, reverse=False)
+        fw_cell, fw_params, inputs, mask, reverse=False,
+        noise_rng=fw_rng)
     bw_out, bw_final = unidirectional_rnn(
-        bw_cell, bw_params, inputs, mask, reverse=True)
+        bw_cell, bw_params, inputs, mask, reverse=True,
+        noise_rng=bw_rng)
     outputs = jnp.concatenate([fw_out, bw_out], axis=-1)
     final = jnp.concatenate([fw_final, bw_final], axis=-1)
     return outputs, final

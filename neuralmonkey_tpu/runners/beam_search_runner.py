@@ -9,7 +9,7 @@ With K>1 restored checkpoints the runtime dispatches to
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List
+from typing import Any, Callable, Dict, List
 
 import numpy as np
 
@@ -42,14 +42,14 @@ class BeamSearchRunner(BaseRunner):
                 "scores": output.scores,
                 "lengths": output.lengths}
 
-    def ensemble_fetches(self, params_list, batch) -> Dict:
+    def ensemble_fetches(self, params_list: List[Any], batch: Dict[str, Any]) -> Dict:
         contexts = [Context(p, batch, train=False) for p in params_list]
         output = self.decoder.ensemble_search(contexts)
         return {"token_ids": output.token_ids,
                 "scores": output.scores,
                 "lengths": output.lengths}
 
-    def collect_results(self, fetched, num_examples) -> ExecutionResult:
+    def collect_results(self, fetched: Dict[str, Any], num_examples: int) -> ExecutionResult:
         ids = np.asarray(fetched["token_ids"])[:num_examples]
         picked = ids[:, self.rank - 1, :]  # best-first sorted
         sentences = self.decoder.vocabulary.vectors_to_sentences(picked)

@@ -3,7 +3,7 @@ per-frame argmax symbols before collapse (blank as '_')."""
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Any, Dict
 
 import jax.numpy as jnp
 import numpy as np
@@ -22,7 +22,7 @@ class CTCDebugRunner(BaseRunner):
             "mask": self.decoder.encoder.temporal_mask(ctx),
         }
 
-    def collect_results(self, fetched, num_examples) -> ExecutionResult:
+    def collect_results(self, fetched: Dict[str, Any], num_examples: int) -> ExecutionResult:
         frames = np.asarray(fetched["frames"])[:num_examples]
         mask = np.asarray(fetched["mask"])[:num_examples]
         vocabulary = self.decoder.vocabulary

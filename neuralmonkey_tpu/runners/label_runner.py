@@ -3,7 +3,7 @@ from a SequenceLabeler, cut to each sentence's input length."""
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List
+from typing import Any, Callable, Dict, List
 
 import numpy as np
 
@@ -31,7 +31,7 @@ class LabelRunner(BaseRunner):
             out["loss"] = self.decoder.train_loss(ctx)
         return out
 
-    def collect_results(self, fetched, num_examples) -> ExecutionResult:
+    def collect_results(self, fetched: Dict[str, Any], num_examples: int) -> ExecutionResult:
         ids = np.asarray(fetched["decoded"])[:num_examples]
         mask = np.asarray(fetched["mask"])[:num_examples]
         vocabulary = self.decoder.vocabulary

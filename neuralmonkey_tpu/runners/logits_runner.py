@@ -4,7 +4,7 @@ strings."""
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Any, Dict, List, Optional
 
 import jax
 import numpy as np
@@ -33,7 +33,7 @@ class LogitsRunner(BaseRunner):
             logits = jax.nn.softmax(logits, axis=-1)
         return {"logits": logits}
 
-    def collect_results(self, fetched, num_examples) -> ExecutionResult:
+    def collect_results(self, fetched: Dict[str, Any], num_examples: int) -> ExecutionResult:
         values = np.asarray(fetched["logits"])[:num_examples]
         outputs = []
         for row in values:

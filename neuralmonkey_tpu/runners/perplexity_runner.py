@@ -3,7 +3,7 @@ per-sentence perplexities from teacher-forced xent."""
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Any, Dict, List
 
 import numpy as np
 
@@ -23,7 +23,7 @@ class PerplexityRunner(BaseRunner):
             "mask": ctx.batch[self.decoder.target_mask_key],
         }
 
-    def collect_results(self, fetched, num_examples) -> ExecutionResult:
+    def collect_results(self, fetched: Dict[str, Any], num_examples: int) -> ExecutionResult:
         xents = np.asarray(fetched["xents"])[:num_examples]
         lengths = np.asarray(fetched["mask"])[:num_examples].sum(axis=1)
         perplexities = np.exp(xents / np.maximum(lengths, 1.0))

@@ -3,7 +3,7 @@ outputs from a Classifier (or any part with a (B,)-shaped `decoded`)."""
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List
+from typing import Any, Callable, Dict, List
 
 import numpy as np
 
@@ -29,7 +29,7 @@ class PlainRunner(BaseRunner):
             out["loss"] = self.decoder.train_loss(ctx)
         return out
 
-    def collect_results(self, fetched, num_examples) -> ExecutionResult:
+    def collect_results(self, fetched: Dict[str, Any], num_examples: int) -> ExecutionResult:
         ids = np.asarray(fetched["decoded"])[:num_examples]
         vocabulary = self.decoder.vocabulary
         if ids.ndim == 1:

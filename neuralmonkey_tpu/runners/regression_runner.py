@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List
+from typing import Any, Callable, Dict, List
 
 import numpy as np
 
@@ -27,7 +27,7 @@ class RegressionRunner(BaseRunner):
             out["mse"] = self.decoder.train_loss(ctx)
         return out
 
-    def collect_results(self, fetched, num_examples) -> ExecutionResult:
+    def collect_results(self, fetched: Dict[str, Any], num_examples: int) -> ExecutionResult:
         preds = np.asarray(fetched["predictions"])[:num_examples]
         if preds.shape[-1] == 1:
             outputs = [float(p[0]) for p in preds]

@@ -3,7 +3,7 @@ dump encoder output vectors (sentence embeddings)."""
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Any, Dict
 
 import numpy as np
 
@@ -26,7 +26,7 @@ class RepresentationRunner(BaseRunner):
     def fetches(self, ctx: Context) -> Dict:
         return {"representation": self.encoder.output(ctx)}
 
-    def collect_results(self, fetched, num_examples) -> ExecutionResult:
+    def collect_results(self, fetched: Dict[str, Any], num_examples: int) -> ExecutionResult:
         vectors = np.asarray(
             fetched["representation"])[:num_examples]
         return ExecutionResult(

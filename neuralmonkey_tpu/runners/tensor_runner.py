@@ -5,7 +5,7 @@ addressed as ``part_name.method`` (a Context method on the part) or
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Any, Dict, List
 
 import numpy as np
 
@@ -55,7 +55,7 @@ class TensorRunner(BaseRunner):
         return {name: self._resolve(ctx, name)
                 for name in self.tensor_names}
 
-    def collect_results(self, fetched, num_examples) -> ExecutionResult:
+    def collect_results(self, fetched: Dict[str, Any], num_examples: int) -> ExecutionResult:
         outputs = []
         for i in range(num_examples):
             item = {}

@@ -3,7 +3,7 @@ dumps attention/alignment matrices."""
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Any, Dict
 
 import numpy as np
 
@@ -27,7 +27,7 @@ class WordAlignmentRunner(BaseRunner):
             matrix = self.decoder.train_attention_weights(ctx)[0]
         return {"alignment": matrix}
 
-    def collect_results(self, fetched, num_examples) -> ExecutionResult:
+    def collect_results(self, fetched: Dict[str, Any], num_examples: int) -> ExecutionResult:
         matrices = np.asarray(fetched["alignment"])[:num_examples]
         return ExecutionResult(outputs=[m for m in matrices],
                                losses={}, size=num_examples)

@@ -444,7 +444,7 @@ class TPUManager:
         self._pending_opt_flat = load_flat(opt_path)
         log(f"Optimizer state staged from {opt_path}")
 
-    def restore(self, paths) -> None:
+    def restore(self, paths: Any) -> None:
         """Restore parameters. A list of paths => checkpoint ensemble."""
         if isinstance(paths, str):
             paths = [paths]

@@ -23,7 +23,7 @@ import json
 import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 from .dataset import from_dict
 from .experiment import Experiment
@@ -95,7 +95,7 @@ def make_handler(service: ModelService):
     return Handler
 
 
-def main(argv=None) -> int:
+def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(prog="neuralmonkey-server")
     parser.add_argument("--configuration", "-c", required=True,
                         help="experiment INI file")

@@ -5,6 +5,8 @@ Usage: python -m neuralmonkey_tpu.train exp.ini [section.key=value ...]
 
 from __future__ import annotations
 
+from typing import List, Optional
+
 import argparse
 import sys
 
@@ -12,7 +14,7 @@ from .experiment import Experiment
 from .logging import log
 
 
-def main(argv=None) -> int:
+def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(
         prog="neuralmonkey-train",
         description="Train a model from an INI experiment file.")

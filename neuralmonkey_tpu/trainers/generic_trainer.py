@@ -67,14 +67,14 @@ class GenericTrainer:
         return [o.name for o in self.objectives] + ["loss", "grad_norm"]
 
     # ------------------------------------------------------------------ #
-    def losses(self, params, batch, rng) -> Dict[str, jnp.ndarray]:
+    def losses(self, params: Any, batch: Dict[str, Any], rng: Any) -> Dict[str, jnp.ndarray]:
         ctx = Context(params, batch, train=True, rng=rng)
         out = {}
         for objective in self.objectives:
             out[objective.name] = objective.loss(ctx)
         return out
 
-    def total_loss(self, params, batch, rng):
+    def total_loss(self, params: Any, batch: Dict[str, Any], rng: Any):
         """Returns (scalar total, per-objective dict)."""
         losses = self.losses(params, batch, rng)
         total = sum(o.weight * losses[o.name] for o in self.objectives)
@@ -93,7 +93,7 @@ class GenericTrainer:
             return params
         return {k: v for k, v in params.items() if k in self.var_scopes}
 
-    def mask_frozen_grads(self, grads):
+    def mask_frozen_grads(self, grads: Any):
         """Zero gradients of parts outside var_scopes."""
         if not self.var_scopes:
             return grads

@@ -10,7 +10,7 @@ the advantage. Rewards are computed on host via ``jax.pure_callback``
 
 from __future__ import annotations
 
-from typing import Callable, List
+from typing import Any, Callable, List
 
 import jax
 import jax.numpy as jnp
@@ -36,12 +36,12 @@ def _ids_to_lists(ids: np.ndarray) -> List[List[int]]:
     return out
 
 
-def sentence_gleu(hyp_ids, ref_ids) -> float:
+def sentence_gleu(hyp_ids: Any, ref_ids: Any) -> float:
     return gleu_sentence([str(i) for i in hyp_ids],
                          [str(i) for i in ref_ids])
 
 
-def sentence_bleu(hyp_ids, ref_ids) -> float:
+def sentence_bleu(hyp_ids: Any, ref_ids: Any) -> float:
     from ..evaluators.bleu import BLEUEvaluator
     return BLEUEvaluator.bleu(
         [[str(i) for i in hyp_ids]], [[[str(i) for i in ref_ids]]])

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import argparse
 import sys
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -40,7 +40,7 @@ def average_checkpoints(paths: List[str], out_path: str) -> None:
     log(f"Averaged {len(paths)} checkpoints -> {out_path}")
 
 
-def main(argv=None) -> int:
+def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(
         prog="neuralmonkey-average-checkpoints")
     parser.add_argument("output", help="output checkpoint path")

@@ -139,3 +139,26 @@ def test_audio_to_ctc_pipeline(tmp_path):
     ctx = Context(params, {k: jnp.asarray(v)
                            for k, v in batch.items()})
     assert np.isfinite(float(ctc.train_loss(ctx)))
+
+
+def test_write_png_valid():
+    """Pure-numpy PNG writer emits decodable files (magic, IHDR dims,
+    IDAT inflates to the right pixel count)."""
+    import struct
+    import zlib
+    import numpy as np
+    from neuralmonkey_tpu.utils.png import write_png
+    import tempfile, os
+    arr = np.arange(12, dtype=np.float32).reshape(3, 4)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "m.png")
+        write_png(path, arr, scale=2)
+        blob = open(path, "rb").read()
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    width, height = struct.unpack(">II", blob[16:24])
+    assert (width, height) == (8, 6)
+    # locate IDAT and inflate
+    idx = blob.index(b"IDAT")
+    size = struct.unpack(">I", blob[idx - 4:idx])[0]
+    raw = zlib.decompress(blob[idx + 4:idx + 4 + size])
+    assert len(raw) == height * (width + 1)  # +1 filter byte per row

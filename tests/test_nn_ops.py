@@ -144,3 +144,91 @@ def test_dropout():
     # identity outside training
     np.testing.assert_array_equal(
         np.asarray(nn.dropout(x, 0.5, key, train=False)), np.asarray(x))
+
+
+def test_noisy_gru_training_noise():
+    """NoisyGRU: inference is deterministic hard saturation; training
+    with a noise rng perturbs saturated activations (Gülçehre et al.
+    2016) and stays differentiable."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from neuralmonkey_tpu.ops.nn import NoisyGRUCell
+    from neuralmonkey_tpu.ops.rnn import unidirectional_rnn
+
+    cell = NoisyGRUCell(4, 5)
+    params = cell.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    # large-magnitude inputs so activations saturate (noise is scaled
+    # by saturation depth and vanishes in the linear region)
+    x = jnp.asarray(rng.randn(2, 6, 4).astype(np.float32) * 8)
+    mask = jnp.ones((2, 6), jnp.float32)
+
+    out_a, _ = unidirectional_rnn(cell, params, x, mask)
+    out_b, _ = unidirectional_rnn(cell, params, x, mask)
+    np.testing.assert_array_equal(np.asarray(out_a),
+                                  np.asarray(out_b))  # deterministic
+
+    n1, _ = unidirectional_rnn(cell, params, x, mask,
+                               noise_rng=jax.random.PRNGKey(1))
+    n2, _ = unidirectional_rnn(cell, params, x, mask,
+                               noise_rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(n1), np.asarray(n2))
+    assert not np.allclose(np.asarray(n1), np.asarray(out_a))
+
+    def loss(p):
+        out, _ = unidirectional_rnn(cell, p, x, mask,
+                                    noise_rng=jax.random.PRNGKey(3))
+        return jnp.sum(out ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert all(np.isfinite(g).all()
+               for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_noisy_gru_trains_through_encoder():
+    """rnn_cell="NoisyGRU" in a SentenceEncoder: the train path draws
+    noise (ctx.train), the inference path is deterministic."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from neuralmonkey_tpu.dataset import Dataset
+    from neuralmonkey_tpu.model.part import (Context, collect_parts,
+                                             init_all_params)
+    from neuralmonkey_tpu.models.attention.feed_forward import Attention
+    from neuralmonkey_tpu.models.decoders.decoder import Decoder
+    from neuralmonkey_tpu.models.encoders.recurrent import \
+        SentenceEncoder
+    from neuralmonkey_tpu.vocabulary import Vocabulary
+
+    vs, vt = Vocabulary(), Vocabulary()
+    src = [["a", "b"], ["b", "a", "a"]]
+    tgt = [["x"], ["y", "x"]]
+    for s in src:
+        vs.add_tokenized_text(s)
+    for t in tgt:
+        vt.add_tokenized_text(t)
+    enc = SentenceEncoder(name="nenc", vocabulary=vs, data_id="source",
+                          embedding_size=6, rnn_size=5,
+                          rnn_cell="NoisyGRU")
+    att = Attention(name="natt", encoder=enc)
+    dec = Decoder(name="ndec", vocabulary=vt, data_id="target",
+                  max_output_len=4, rnn_size=5, encoders=[enc],
+                  attentions=[att], embedding_size=6,
+                  rnn_cell="NoisyGRU")
+    ds = Dataset("toy", {"source": src, "target": tgt})
+    parts = collect_parts([dec])
+    params = init_all_params(parts, jax.random.PRNGKey(0))
+    batch = {}
+    for p in parts:
+        batch.update(p.featurize(ds, train=True))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    losses = {seed: float(dec.train_loss(Context(
+        params, batch, train=True, rng=jax.random.PRNGKey(seed))))
+        for seed in (1, 2)}
+    assert np.isfinite(list(losses.values())).all()
+    # inference path: deterministic
+    ids_a = np.asarray(dec.decoded(Context(params, batch, train=False)))
+    ids_b = np.asarray(dec.decoded(Context(params, batch, train=False)))
+    np.testing.assert_array_equal(ids_a, ids_b)
