@@ -218,10 +218,161 @@ def cpu_reference_throughput() -> float:
     return B / elapsed
 
 
+def build_transformer(batch_size: int):
+    """Production-shaped Transformer (milestone 3): 512d/2048ff/6+6
+    layers, 8 heads, 30k vocab."""
+    import jax
+    import jax.numpy as jnp
+    from neuralmonkey_tpu.model.part import (Context, collect_parts,
+                                             init_all_params)
+    from neuralmonkey_tpu.models.decoders.beam_search_decoder import \
+        BeamSearchDecoder
+    from neuralmonkey_tpu.models.decoders.transformer import \
+        TransformerDecoder
+    from neuralmonkey_tpu.models.encoders.transformer import \
+        TransformerEncoder
+    from neuralmonkey_tpu.vocabulary import Vocabulary
+
+    vs, vt = Vocabulary(), Vocabulary()
+    for v in (vs, vt):
+        v.index_to_word = v.index_to_word + [
+            f"w{i}" for i in range(VOCAB - 4)]
+        v.word_to_index = {t: i for i, t in enumerate(v.index_to_word)}
+    enc = TransformerEncoder(
+        name="tenc", vocabulary=vs, data_id="source",
+        embedding_size=512, ff_hidden_size=2048, depth=6, n_heads=8)
+    dec = TransformerDecoder(
+        name="tdec", vocabulary=vt, data_id="target",
+        encoders=[enc], embedding_size=512, ff_hidden_size=2048,
+        depth=6, n_heads_self=8, n_heads_enc=8,
+        max_output_len=MAX_OUT, label_smoothing=0.1)
+    bs = BeamSearchDecoder(name="tbs", parent_decoder=dec,
+                           beam_size=BEAM, length_normalization=0.6)
+    parts = collect_parts([dec])
+    params = init_all_params(parts, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batch = {
+        "tenc_input.ids": jnp.asarray(
+            rng.randint(4, VOCAB, size=(batch_size, SRC_LEN)),
+            jnp.int32),
+        "tenc_input.mask": jnp.ones((batch_size, SRC_LEN),
+                                    jnp.float32),
+    }
+    return enc, dec, bs, params, batch, Context
+
+
+def train_throughput(model: str = "rnn") -> dict:
+    """Training target-tokens/sec on the production-shaped model."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from neuralmonkey_tpu.trainers.cross_entropy_trainer import \
+        CrossEntropyTrainer
+    from neuralmonkey_tpu.trainers.optimizers import AdamOptimizer
+
+    if model == "transformer":
+        enc, dec, _, params, batch, Context = build_transformer(BATCH)
+    else:
+        enc, dec, _, params, batch, Context = build(BATCH)
+    rng = np.random.RandomState(1)
+    tgt = rng.randint(4, VOCAB, size=(BATCH, MAX_OUT)).astype(np.int32)
+    batch = dict(batch)
+    batch[dec.input_ids_key] = jnp.asarray(tgt)
+    batch[dec.target_ids_key] = jnp.asarray(tgt)
+    batch[dec.target_mask_key] = jnp.ones((BATCH, MAX_OUT), jnp.float32)
+
+    trainer = CrossEntropyTrainer(
+        decoders=[dec], clip_norm=1.0,
+        optimizer=AdamOptimizer(learning_rate=1e-4))
+    tx = trainer.make_optax()
+
+    @jax.jit
+    def step(params, opt_state, batch, rng):
+        def loss_fn(p):
+            return trainer.total_loss(p, batch, rng)
+        (total, _), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, total
+
+    opt_state = tx.init(params)
+    key = jax.random.PRNGKey(0)
+    for _ in range(2):  # compile + warm
+        params, opt_state, total = step(params, opt_state, batch, key)
+        _ = float(total)
+    steps = max(TPU_REPEATS * 2, 10)
+    start = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, total = step(params, opt_state, batch, key)
+    _ = float(total)  # device sync via host transfer
+    elapsed = time.perf_counter() - start
+    tokens = BATCH * MAX_OUT * steps
+    return {"tokens_per_sec": tokens / elapsed,
+            "examples_per_sec": BATCH * steps / elapsed,
+            "step_ms": elapsed / steps * 1000}
+
+
+def transformer_decode_throughput() -> float:
+    import jax
+    enc, dec, bs, params, batch, Context = build_transformer(BATCH)
+
+    @jax.jit
+    def search(p, b):
+        return bs.search(Context(p, b, train=False)).token_ids
+
+    for _ in range(2):
+        ids = np.asarray(search(params, batch))
+    start = time.perf_counter()
+    total = 0
+    for _ in range(TPU_REPEATS):
+        ids = search(params, batch)
+        arr = np.asarray(ids)
+        _ = dec.vocabulary.vectors_to_sentences(arr[:, 0, :])
+        total += BATCH
+    return total / (time.perf_counter() - start)
+
+
 def main() -> None:
     if "--cpu-baseline" in sys.argv:
         print(json.dumps({"cpu_sentences_per_sec":
                           cpu_reference_throughput()}))
+        return
+
+    if "--train" in sys.argv:
+        model = ("transformer" if "--model=transformer" in sys.argv
+                 else "rnn")
+        for dtype in (None, "bfloat16"):
+            from neuralmonkey_tpu.ops import policy
+            policy.set_compute_dtype(dtype)
+            result = train_throughput(model)
+            print(json.dumps({
+                "metric": f"{model}_train_tokens_per_sec",
+                "compute_dtype": dtype or "float32",
+                "value": round(result["tokens_per_sec"], 1),
+                "unit": "target tokens/sec/chip",
+                "step_ms": round(result["step_ms"], 2)}))
+        return
+
+    if "--transformer" in sys.argv:
+        for dtype in (None, "bfloat16"):
+            from neuralmonkey_tpu.ops import policy
+            policy.set_compute_dtype(dtype)
+            rate = transformer_decode_throughput()
+            print(json.dumps({
+                "metric": "transformer_beam10_sentences_per_sec",
+                "compute_dtype": dtype or "float32",
+                "value": round(rate, 2),
+                "unit": "sentences/sec/chip"}))
+        return
+
+    if "--bf16" in sys.argv:
+        from neuralmonkey_tpu.ops import policy
+        policy.set_compute_dtype("bfloat16")
+        print(json.dumps({
+            "metric": "beam10_decoded_sentences_per_sec_per_chip",
+            "compute_dtype": "bfloat16",
+            "value": round(tpu_throughput(), 2),
+            "unit": "sentences/sec/chip"}))
         return
 
     # CPU baseline in a subprocess with the TPU plugin disabled

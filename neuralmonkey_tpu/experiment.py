@@ -50,6 +50,7 @@ _TRAIN_ARGS = [
     ("tf_manager", False, None),
     ("visualize_embeddings", False, None),
     ("minimize", False, None),
+    ("compute_dtype", False, None),
 ]
 
 
@@ -137,6 +138,9 @@ class Experiment:
         self.config.build_model(warn_unused=self.train_mode)
         self.model = self.config.model
         self.graph_built = True
+
+        from .ops.policy import set_compute_dtype
+        set_compute_dtype(getattr(self.model, "compute_dtype", None))
 
         seed = getattr(self.model, "random_seed", None) or 2574600
         random.seed(seed)

@@ -50,7 +50,17 @@ class Context:
             raise KeyError(
                 f"No parameters for part '{key}' (have "
                 f"{sorted(self.params.keys())})")
-        return self.params[key]
+        # mixed precision: matrix params cast to the compute dtype at
+        # use time (master copies stay f32; XLA fuses the casts);
+        # memoized so every part sees one consistent cast per trace
+        from ..ops.policy import cast_params_for_compute, compute_dtype
+        if compute_dtype() is None:
+            return self.params[key]
+        cache_key = (id(part), "__compute_params__")
+        if cache_key not in self._cache:
+            self._cache[cache_key] = cast_params_for_compute(
+                self.params[key])
+        return self._cache[cache_key]
 
     def make_rng(self, part: "ModelPart", site: str):
         """Deterministic per-(part, site) rng stream."""

@@ -127,7 +127,9 @@ class TransformerDecoder(AutoregressiveDecoder):
             time, self.model_dim, x.dtype)[None]
         x = ctx.dropout(self, x, self.dropout_keep_prob, "input_dropout")
 
-        all_keys_mask = jnp.ones((x.shape[0], time), x.dtype)
+        # masks stay f32 regardless of the activation policy (kernel
+        # masking paths are f32; bf16 masks buy nothing)
+        all_keys_mask = jnp.ones((x.shape[0], time), jnp.float32)
         enc_data = []
         for e, enc in enumerate(self.encoders):
             enc_data.append((enc.temporal_states(ctx),

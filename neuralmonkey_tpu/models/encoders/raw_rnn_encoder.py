@@ -97,10 +97,12 @@ class RawRNNEncoder(ModelPart, TemporalStatefulWithOutput):
         if self._bw is not None:
             return bidirectional_rnn(self._fw, params["fw"],
                                      self._bw, params["bw"],
-                                     inputs, mask)
+                                     inputs, mask,
+                                     allow_pallas=not ctx.train)
         return unidirectional_rnn(
             self._fw, params["fw"], inputs, mask,
-            reverse=self.rnn_direction == "backward")
+            reverse=self.rnn_direction == "backward",
+            allow_pallas=not ctx.train)
 
     @tensor
     def temporal_states(self, ctx: Context):

@@ -108,12 +108,13 @@ class RecurrentEncoder(ModelPart, TemporalStatefulWithOutput):
                 states, final = bidirectional_rnn(
                     fw, params[f"layer_{i}_fw"],
                     bw, params[f"layer_{i}_bw"], states, mask,
-                    noise_rng=noise_rng)
+                    noise_rng=noise_rng, allow_pallas=not ctx.train)
             else:
                 reverse = self.rnn_direction == "backward"
                 states, final = unidirectional_rnn(
                     fw, params[f"layer_{i}_fw"], states, mask,
-                    reverse=reverse, noise_rng=noise_rng)
+                    reverse=reverse, noise_rng=noise_rng,
+                    allow_pallas=not ctx.train)
             if i < len(self._cells) - 1:
                 states = ctx.dropout(
                     self, states, self.dropout_keep_prob,

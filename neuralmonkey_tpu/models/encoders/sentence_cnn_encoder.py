@@ -123,7 +123,8 @@ class SentenceCNNEncoder(ModelPart, TemporalStatefulWithOutput):
         mask = self.temporal_mask(ctx)
         out, _ = bidirectional_rnn(self._fw, params["rnn_fw"],
                                    self._bw, params["rnn_bw"],
-                                   states, mask)
+                                   states, mask,
+                                   allow_pallas=not ctx.train)
         return out
 
     @tensor
@@ -133,7 +134,8 @@ class SentenceCNNEncoder(ModelPart, TemporalStatefulWithOutput):
             mask = self.temporal_mask(ctx)
             _, final = bidirectional_rnn(self._fw, params["rnn_fw"],
                                          self._bw, params["rnn_bw"],
-                                         self._cnn_states(ctx), mask)
+                                         self._cnn_states(ctx), mask,
+                                         allow_pallas=not ctx.train)
             return final
         states = self.temporal_states(ctx)
         return jnp.max(states, axis=1)

@@ -69,8 +69,19 @@ def linear_init(rng, in_dim: int, out_dim: int, use_bias: bool = True,
     return params
 
 
+
+def pdot(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Param matmul under the compute-precision policy: when the
+    weight was cast to bf16 (ops/policy.py), the activation joins it
+    so the MXU runs a true bf16xbf16 pass; accumulation is pinned to
+    float32 either way."""
+    if w.dtype == jnp.bfloat16 and x.dtype != jnp.bfloat16:
+        x = x.astype(jnp.bfloat16)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
 def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
+    y = pdot(x, params["w"])
     if "b" in params:
         y = y + params["b"]
     return y
@@ -179,17 +190,13 @@ class GRUCell:
     def __call__(self, params: Params, h: jnp.ndarray, x: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         gates = jax.nn.sigmoid(
-            jnp.dot(x, params["gates_x"],
-                    preferred_element_type=jnp.float32)
-            + jnp.dot(h, params["gates_h"],
-                      preferred_element_type=jnp.float32)
+            pdot(x, params["gates_x"])
+            + pdot(h, params["gates_h"])
             + params["gates_b"])
         r, u = jnp.split(gates, 2, axis=-1)
         cand = jnp.tanh(
-            jnp.dot(x, params["cand_x"],
-                    preferred_element_type=jnp.float32)
-            + jnp.dot(r * h, params["cand_h"],
-                      preferred_element_type=jnp.float32)
+            pdot(x, params["cand_x"])
+            + pdot(r * h, params["cand_h"])
             + params["cand_b"])
         new_h = u * h + (1.0 - u) * cand
         return new_h, new_h  # (new_state, output)
@@ -225,18 +232,14 @@ class LayerNormGRUCell(GRUCell):
 
     def __call__(self, params, h, x):
         pre_gates = (
-            jnp.dot(x, params["gates_x"],
-                    preferred_element_type=jnp.float32)
-            + jnp.dot(h, params["gates_h"],
-                      preferred_element_type=jnp.float32))
+            pdot(x, params["gates_x"])
+            + pdot(h, params["gates_h"]))
         gates = jax.nn.sigmoid(self._ln(
             pre_gates, params["ln_gates_scale"], params["gates_b"]))
         r, u = jnp.split(gates, 2, axis=-1)
         pre_cand = (
-            jnp.dot(x, params["cand_x"],
-                    preferred_element_type=jnp.float32)
-            + jnp.dot(r * h, params["cand_h"],
-                      preferred_element_type=jnp.float32))
+            pdot(x, params["cand_x"])
+            + pdot(r * h, params["cand_h"]))
         cand = jnp.tanh(self._ln(
             pre_cand, params["ln_cand_scale"], params["cand_b"]))
         new_h = u * h + (1.0 - u) * cand
@@ -286,10 +289,8 @@ class NoisyGRUCell(GRUCell):
 
     def __call__(self, params, h, x, noise_rng=None):
         gates_pre = (
-            jnp.dot(x, params["gates_x"],
-                    preferred_element_type=jnp.float32)
-            + jnp.dot(h, params["gates_h"],
-                      preferred_element_type=jnp.float32)
+            pdot(x, params["gates_x"])
+            + pdot(h, params["gates_h"])
             + params["gates_b"])
         gates = self._hard_sigmoid(gates_pre)
         if noise_rng is not None:
@@ -298,10 +299,8 @@ class NoisyGRUCell(GRUCell):
                                 gates_pre, k1)
         r, u = jnp.split(gates, 2, axis=-1)
         cand_pre = (
-            jnp.dot(x, params["cand_x"],
-                    preferred_element_type=jnp.float32)
-            + jnp.dot(r * h, params["cand_h"],
-                      preferred_element_type=jnp.float32)
+            pdot(x, params["cand_x"])
+            + pdot(r * h, params["cand_h"])
             + params["cand_b"])
         cand = self._hard_tanh(cand_pre)
         if noise_rng is not None:
@@ -336,10 +335,8 @@ class LSTMCell:
 
     def __call__(self, params: Params, state, x: jnp.ndarray):
         c, h = state
-        z = (jnp.dot(x, params["kernel_x"],
-                     preferred_element_type=jnp.float32)
-             + jnp.dot(h, params["kernel_h"],
-                       preferred_element_type=jnp.float32)
+        z = (pdot(x, params["kernel_x"])
+             + pdot(h, params["kernel_h"])
              + params["bias"])
         i, j, f, o = jnp.split(z, 4, axis=-1)
         new_c = (c * jax.nn.sigmoid(f + self.forget_bias)

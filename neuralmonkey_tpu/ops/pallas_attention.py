@@ -178,6 +178,9 @@ def flash_attention(q, k, v, mask, causal: bool = False,
     (+ causal bias when ``causal``). Backward rematerializes through
     the pure-JAX reference.
     """
+    # the kernel's masking path is f32-only (bf16 masks arrive under
+    # the compute-precision policy and buy nothing)
+    mask = mask.astype(jnp.float32)
     return _flash_attention_pallas(q, k, v, mask, causal,
                                    block_q, block_kv)
 

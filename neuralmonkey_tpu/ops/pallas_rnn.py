@@ -68,7 +68,7 @@ def _reference_gru_scan(params, inputs, mask, reverse: bool):
     hidden = params["cand_b"].shape[0]
     cell = GRUCell(inputs.shape[-1], hidden)
     return unidirectional_rnn(cell, params, inputs, mask,
-                              reverse=reverse)
+                              reverse=reverse, allow_pallas=False)
 
 
 def _gru_scan_pallas(params, inputs: jnp.ndarray, mask: jnp.ndarray,

@@ -30,7 +30,8 @@ def _pallas_eligible(cell) -> bool:
 def unidirectional_rnn(cell, params, inputs: jnp.ndarray,
                        mask: jnp.ndarray,
                        reverse: bool = False,
-                       noise_rng=None
+                       noise_rng=None,
+                       allow_pallas: bool = True
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run `cell` over `inputs` (B, T, D) with `mask` (B, T).
 
@@ -46,7 +47,14 @@ def unidirectional_rnn(cell, params, inputs: jnp.ndarray,
     (ops/pallas_rnn.py) — same semantics, state + recurrent weights
     pinned in VMEM.
     """
-    if noise_rng is None and _pallas_eligible(cell):
+    # Pallas scan is inference-only: its rematerialized VJP is not a
+    # supported training path (training passes allow_pallas=False and
+    # takes the XLA scan whose gradient lowering is first-class)
+    if (allow_pallas and noise_rng is None
+            and inputs.dtype == jnp.float32
+            and all(p.dtype == jnp.float32
+                    for p in jax.tree_util.tree_leaves(params))
+            and _pallas_eligible(cell)):
         from .pallas_rnn import gru_scan
         return gru_scan(params, inputs, mask, reverse)
     batch = inputs.shape[0]
@@ -57,7 +65,12 @@ def unidirectional_rnn(cell, params, inputs: jnp.ndarray,
         x_tm = jnp.flip(x_tm, axis=0)
         m_tm = jnp.flip(m_tm, axis=0)
 
-    init_state = cell.initial_state(batch, inputs.dtype)
+    # hidden states accumulate in f32 regardless of the activation
+    # policy (bf16 inputs still produce f32 states via the f32-pinned
+    # matmul accumulation — the scan carry must match that)
+    state_dtype = (jnp.float32 if inputs.dtype == jnp.bfloat16
+                   else inputs.dtype)
+    init_state = cell.initial_state(batch, state_dtype)
     steps = jnp.arange(time)
 
     def step(state, xmt):
@@ -85,7 +98,8 @@ def unidirectional_rnn(cell, params, inputs: jnp.ndarray,
 
 def bidirectional_rnn(fw_cell, fw_params, bw_cell, bw_params,
                       inputs: jnp.ndarray, mask: jnp.ndarray,
-                      noise_rng=None
+                      noise_rng=None,
+                      allow_pallas: bool = True
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bidirectional RNN; concatenates directions on the feature axis.
 
@@ -97,10 +111,10 @@ def bidirectional_rnn(fw_cell, fw_params, bw_cell, bw_params,
         fw_rng = bw_rng = None
     fw_out, fw_final = unidirectional_rnn(
         fw_cell, fw_params, inputs, mask, reverse=False,
-        noise_rng=fw_rng)
+        noise_rng=fw_rng, allow_pallas=allow_pallas)
     bw_out, bw_final = unidirectional_rnn(
         bw_cell, bw_params, inputs, mask, reverse=True,
-        noise_rng=bw_rng)
+        noise_rng=bw_rng, allow_pallas=allow_pallas)
     outputs = jnp.concatenate([fw_out, bw_out], axis=-1)
     final = jnp.concatenate([fw_final, bw_final], axis=-1)
     return outputs, final
