@@ -113,6 +113,15 @@ def verify_kernels_on_device() -> None:
                                rtol=1e-4)
     print("kernel check: beam_select.rowmax_lse OK", file=sys.stderr)
 
+    xt = jnp.round(jnp.asarray(rng.randn(64, 2350).astype(np.float32)
+                               * 3))  # ties included
+    v_p, i_p = jax.jit(lambda a: beam_select._topk_pallas(a, 10))(xt)
+    v_r, i_r = jax.jit(lambda a: beam_select._topk_reference(a, 10))(xt)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_r),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_r))
+    print("kernel check: beam_select.small_topk OK", file=sys.stderr)
+
 
 def tpu_throughput() -> float:
     """Whole search jitted on device."""

@@ -139,6 +139,48 @@ class AutoregressiveDecoder(ModelPart):
                     prev_ids: jnp.ndarray, step: Any):
         raise NotImplementedError
 
+    def align_logits_for_selection(self, constants: Any,
+                                   lane: int = 128) -> Any:
+        """Pad the logit projection inside decode constants so
+        ``decode_step`` emits lane-aligned (V padded to a multiple of
+        128) logits — the hierarchical beam selector then never pays a
+        per-step pad pass. Extra columns carry bias −1e9, far below
+        any real logit, so they are never selected (and the search
+        clamps emitted ids defensively). No-op when already aligned or
+        when the constants do not follow the params/embed_table
+        layout."""
+        vocab = len(self.vocabulary)
+        pad = (-vocab) % lane
+        if pad == 0 or "params" not in constants:
+            return constants
+        neg = -1e9
+        constants = dict(constants)
+        params = dict(constants["params"])
+        if self.tie_embeddings:
+            if "logit_bias" not in params or \
+                    "embed_table" not in constants:
+                return constants
+            table = constants["embed_table"]
+            constants["embed_table"] = jnp.pad(
+                table, ((0, pad), (0, 0)))
+            bias = params["logit_bias"]
+            params["logit_bias"] = jnp.concatenate(
+                [bias, jnp.full((pad,), neg, bias.dtype)])
+        else:
+            if "logit" not in params:
+                return constants
+            logit = dict(params["logit"])
+            w = logit["w"]
+            logit["w"] = jnp.pad(w, ((0, 0), (0, pad)))
+            bias = logit.get("b")
+            if bias is None:
+                bias = jnp.zeros((vocab,), jnp.float32)
+            logit["b"] = jnp.concatenate(
+                [bias, jnp.full((pad,), neg, bias.dtype)])
+            params["logit"] = logit
+        constants["params"] = params
+        return constants
+
     # ------------------------------------------------------------------ #
     # losses
     # ------------------------------------------------------------------ #

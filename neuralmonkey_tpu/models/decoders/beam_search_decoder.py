@@ -87,6 +87,7 @@ class BeamSearchDecoder(ModelPart):
                  max_steps: int = None,
                  use_approx_top_k: bool = False,
                  selection_method: str = "auto",
+                 align_logits: bool = False,
                  reuse: ModelPart = None,
                  save_checkpoint: str = None,
                  load_checkpoint: str = None) -> None:
@@ -111,6 +112,14 @@ class BeamSearchDecoder(ModelPart):
             raise ValueError(
                 f"Unknown selection_method: {selection_method}")
         self.selection_method = selection_method
+        # lane-align the logit projection once per search, removing the
+        # hierarchical selector's per-step pad pass (~0.1 ms at 30k
+        # vocab). OFF by default: combined with the Pallas rowmax/lse
+        # kernel inside the full search graph it triggers a TPU-worker
+        # kernel fault on v5e (single-step and scan repros are clean;
+        # semantics are equivalence-tested on CPU). Safe to enable
+        # with NM_USE_PALLAS=0 or on backends without the fault.
+        self.align_logits = align_logits
 
     @property
     def vocabulary(self):
@@ -236,8 +245,11 @@ class BeamSearchDecoder(ModelPart):
             jnp.where(search.finished, fin_score, srow[..., 0]))
 
         # stage 1: top-K rows across all beams of each sentence
+        # (small_topk = exact Pallas extraction; lax.top_k costs
+        # ~0.15 ms/call at these shapes)
+        from ...ops.beam_select import small_topk
         n_rows = beam * rows_per_beam
-        _, row_idx = jax.lax.top_k(
+        _, row_idx = small_topk(
             srow.reshape(batch, n_rows), beam)            # (B, K)
 
         # stage 2: exact scores for the selected rows only
@@ -265,7 +277,7 @@ class BeamSearchDecoder(ModelPart):
                       NEG_INF),
             total_cand)
 
-        top_scores, idx2 = jax.lax.top_k(
+        top_scores, idx2 = small_topk(
             scores_cand.reshape(batch, beam * lane), beam)
         sel_row = idx2 // lane
         sel_lane = idx2 % lane
@@ -287,6 +299,23 @@ class BeamSearchDecoder(ModelPart):
         vocab = len(parent.vocabulary)
         max_steps = self.max_steps
         n_models = len(constants_list)
+
+        method = self.selection_method
+        if method == "auto":
+            # hierarchical wins once full-vocab elementwise passes
+            # dominate; at toy vocab sizes flat is simpler and equal
+            method = ("flat" if vocab < 2048 or self.use_approx_top_k
+                      else "hierarchical")
+
+        if method == "hierarchical" and n_models == 1 \
+                and self.align_logits:
+            # lane-align the logit projection once so the selector
+            # never pays a per-step pad pass (single-model path only:
+            # it feeds raw logits; see __init__ for why this is
+            # opt-in)
+            constants_list = [
+                parent.align_logits_for_selection(c)
+                for c in constants_list]
 
         # tile constants/states to batch*beam (the parent knows which
         # constants carry a batch axis — parameters must not be tiled)
@@ -337,12 +366,6 @@ class BeamSearchDecoder(ModelPart):
             avg = jax.nn.logsumexp(logprobs, axis=0) - jnp.log(n_models)
             return new_states, avg, True
 
-        method = self.selection_method
-        if method == "auto":
-            # hierarchical wins once full-vocab elementwise passes
-            # dominate; at toy vocab sizes flat is simpler and equal
-            method = ("flat" if vocab < 2048 or self.use_approx_top_k
-                      else "hierarchical")
         select_fn = (self._select_hier if method == "hierarchical"
                      else self._select_flat)
 
@@ -377,6 +400,10 @@ class BeamSearchDecoder(ModelPart):
             old_tokens = jnp.take_along_axis(
                 search.token_ids, parents[..., None], axis=1)
 
+            # defensive clamp: lane-aligned logits carry padding
+            # columns at bias -1e9 that can never win a selection,
+            # but an emitted id must always index the real vocabulary
+            tokens = jnp.minimum(tokens, vocab - 1)
             emit = jnp.where(old_finished, PAD_TOKEN_INDEX, tokens)
             new_token_ids = jax.lax.dynamic_update_slice_in_dim(
                 old_tokens, emit[..., None], step, axis=2)

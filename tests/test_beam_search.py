@@ -179,7 +179,8 @@ def test_hierarchical_full_search_matches_flat(model):
     for method in ("flat", "hierarchical"):
         bs = BeamSearchDecoder(
             name="bs_sel_" + method, parent_decoder=dec, beam_size=3,
-            length_normalization=0.6, selection_method=method)
+            length_normalization=0.6, selection_method=method,
+            align_logits=True)
         out = jax.jit(
             lambda p, b, bs=bs: bs.search(Context(p, b, train=False))
         )(params, batch)
@@ -197,3 +198,34 @@ def test_max_steps_clamped_to_parent(model):
     bs = BeamSearchDecoder(name="bs_clamp", parent_decoder=dec,
                            beam_size=2, max_steps=100)
     assert bs.max_steps == dec.max_output_len
+
+
+def test_hierarchical_with_tied_embeddings(model):
+    """Lane-aligned logits via the tied-embedding path (embed table +
+    logit_bias padded) must match the flat selector."""
+    dec, params, batch = model
+    from neuralmonkey_tpu.models.decoders.decoder import Decoder
+    from neuralmonkey_tpu.model.part import (collect_parts,
+                                             init_all_params)
+    tied = Decoder(name="dec_tied", vocabulary=dec.vocabulary,
+                   data_id="target", max_output_len=6, rnn_size=7,
+                   encoders=dec.encoders, attentions=dec.attentions,
+                   embedding_size=8, tie_embeddings=True,
+                   output_projection="mlp")
+    parts = collect_parts([tied])
+    tied_params = init_all_params(parts, jax.random.PRNGKey(0))
+    tied_params.update({k: v for k, v in params.items()
+                        if k in tied_params and k.startswith("enc")})
+    outs = {}
+    for method in ("flat", "hierarchical"):
+        bs = BeamSearchDecoder(
+            name="bst_" + method, parent_decoder=tied, beam_size=3,
+            selection_method=method, align_logits=True)
+        out = jax.jit(
+            lambda p, b, bs=bs: bs.search(Context(p, b, train=False))
+        )(tied_params, batch)
+        outs[method] = jax.tree_util.tree_map(np.asarray, out)
+    np.testing.assert_array_equal(outs["flat"].token_ids,
+                                  outs["hierarchical"].token_ids)
+    np.testing.assert_allclose(outs["flat"].scores,
+                               outs["hierarchical"].scores, atol=1e-5)

@@ -152,3 +152,18 @@ def test_rowmax_lse_dispatch_shapes():
     x = jnp.asarray(RNG.randn(5, 256).astype(np.float32))  # N % 8 != 0
     rm, lse = rowmax_lse(x)
     assert rm.shape == (5, 2) and lse.shape == (5,)
+
+
+@pytest.mark.parametrize("shape,k", [((5, 100), 3), ((64, 2350), 10),
+                                     ((16, 1280), 10), ((8, 128), 5)])
+def test_small_topk_matches_lax(shape, k):
+    """Exact top-k kernel vs lax.top_k, including lowest-index ties."""
+    from neuralmonkey_tpu.ops.beam_select import (_topk_pallas,
+                                                  _topk_reference)
+    x = jnp.asarray(RNG.randn(*shape).astype(np.float32) * 3)
+    x = jnp.round(x)  # force ties
+    v_p, i_p = _topk_pallas(x, k)
+    v_r, i_r = _topk_reference(x, k)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_r),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_r))
