@@ -106,16 +106,23 @@ class Experiment:
             os.makedirs(self.output_dir, exist_ok=True)
 
         if self.train_mode:
+            from .parallel.distributed import (is_main_process,
+                                               process_index)
             suffix = (f".cont-{self.cont_index}"
                       if self.cont_index > 0 else "")
-            shutil.copyfile(
-                self.config_path,
-                os.path.join(self.output_dir,
-                             f"experiment.ini{suffix}"))
-            self._save_git_info(suffix)
+            if is_main_process():
+                shutil.copyfile(
+                    self.config_path,
+                    os.path.join(self.output_dir,
+                                 f"experiment.ini{suffix}"))
+                self._save_git_info(suffix)
+            # per-process log files on shared storage (plain
+            # experiment.log on the main process, as the reference)
+            proc = process_index()
+            log_suffix = suffix + (f".p{proc}" if proc else "")
             Logging.set_log_file(
                 os.path.join(self.output_dir,
-                             f"experiment.log{suffix}"))
+                             f"experiment.log{log_suffix}"))
 
     def _save_git_info(self, suffix: str = "") -> None:
         try:

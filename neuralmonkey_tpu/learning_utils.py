@@ -69,7 +69,8 @@ class MetricsWriter:
 
     def write(self, kind: str, step: int, values: Dict[str, float]
               ) -> None:
-        if self.path is None:
+        from .parallel.distributed import is_main_process
+        if self.path is None or not is_main_process():
             return
         record = {"kind": kind, "step": step, "time": time.time()}
         record.update({k: float(v) for k, v in values.items()})
@@ -112,6 +113,9 @@ def run_on_dataset(tf_manager, runners, dataset: Dataset,
             else:
                 outputs[series_name] = function(source)
 
+    from .parallel.distributed import is_main_process
+    if write_out and not is_main_process():
+        write_out = False  # every process decodes; process 0 writes
     if write_out:
         for series_name, data in outputs.items():
             if series_name in dataset.series_outputs:

@@ -51,6 +51,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                              "(long inputs)")
     args = parser.parse_args(argv)
 
+    from .parallel.distributed import maybe_initialize
+    maybe_initialize()
+
     exp = Experiment(args.config, train_mode=False)
     exp.build_model()
     exp.restore_variables(args.checkpoints or None)

@@ -31,6 +31,8 @@ import optax
 
 from .logging import log, warn
 from .model.part import Context, ModelPart, collect_parts, init_all_params
+from .parallel.distributed import (fetch_to_host, is_main_process,
+                                   make_global_array, sync_processes)
 from .runners.base_runner import ExecutionResult, reduce_execution_results
 from .utils.batching import pad_batch
 from .utils.saving import (flatten_tree, load_flat, load_meta,
@@ -80,8 +82,11 @@ class TPUManager:
         else:
             self.mesh = jax.sharding.Mesh(
                 np.array(devices), axis_names=("data",))
+        n_proc = jax.process_count()
+        proc = (f", process {jax.process_index()}/{n_proc}"
+                if n_proc > 1 else "")
         log(f"TPUManager: {self.n_devices} device(s) "
-            f"[{devices[0].platform}], mesh {self.mesh.shape}")
+            f"[{devices[0].platform}], mesh {self.mesh.shape}{proc}")
 
         self.replicated = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec())
@@ -145,7 +150,12 @@ class TPUManager:
             params)
 
     def _place_params(self, params):
-        return jax.device_put(params, self._param_shardings(params))
+        shardings = self._param_shardings(params)
+        if isinstance(shardings, jax.sharding.Sharding):
+            return jax.tree_util.tree_map(
+                lambda leaf: make_global_array(leaf, shardings), params)
+        return jax.tree_util.tree_map(make_global_array, params,
+                                      shardings)
 
     def initialize_model_parts(self, roots: Sequence[Any],
                                seed: int = None) -> None:
@@ -196,7 +206,7 @@ class TPUManager:
         shard = (self.data_sharded
                  if batch_size % dp == 0 else self.replicated)
         device_batch = {
-            key: jax.device_put(value, shard)
+            key: make_global_array(value, shard)
             for key, value in padded.items()}
         return device_batch, real_size
 
@@ -344,7 +354,9 @@ class TPUManager:
         for runner in runners:
             fetch_fn = self._get_fetch_fn(runner)
             fetched = fetch_fn(self.params_list, batch)
-            fetched = jax.tree_util.tree_map(np.asarray, fetched)
+            # multi-process: decode outputs are data-sharded across
+            # hosts; allgather so every process sees the full series
+            fetched = fetch_to_host(fetched)
             results.append(runner.collect_results(fetched, real_size))
         return results
 
@@ -380,7 +392,14 @@ class TPUManager:
     def save(self, path: str, step: int = None) -> str:
         step = step if step is not None else self.global_step
         ckpt_path = f"{path}-{step}"
-        save_tree(ckpt_path, self.params_list[0],
+        # every process participates in the host fetch (allgathers any
+        # cross-process-sharded params); only process 0 touches disk
+        params_host = fetch_to_host(self.params_list[0])
+        opt_host = self._gather_optimizer_state()
+        if not is_main_process():
+            sync_processes("nm_checkpoint")
+            return ckpt_path
+        save_tree(ckpt_path, params_host,
                   meta={"step": step, "epoch": self.epoch,
                         "best_score": self.best_score})
         self._checkpoint_paths.append(ckpt_path)
@@ -410,26 +429,39 @@ class TPUManager:
                 self._protected_paths.remove(stale)
         # keep the optimizer state consistent with the newest
         # checkpoint so --cont resumes optimizer moments, not zeros
-        self.save_optimizer_state(path)
+        self._write_optimizer_state(path, opt_host)
         log(f"Checkpoint saved to {ckpt_path}")
+        sync_processes("nm_checkpoint")
         return ckpt_path
 
-    def save_optimizer_state(self, path: str) -> None:
-        """Persist every trainer's optax state (keyed by stable trainer
-        label) so a --cont run resumes Adam moments / MultiSteps
-        accumulators instead of resetting them."""
-        if not self._opt_states:
-            return
+    def _gather_optimizer_state(self) -> Dict[str, np.ndarray]:
+        """Flatten every trainer's optax state to host arrays, keyed by
+        stable trainer label (collective: all processes must call)."""
         combined: Dict[str, np.ndarray] = {}
         for key, opt_state in self._opt_states.items():
             label = self._opt_labels[key]
-            for name, value in flatten_tree(opt_state).items():
+            for name, value in flatten_tree(
+                    fetch_to_host(opt_state)).items():
                 combined[f"{label}/{name}"] = value
+        return combined
+
+    @staticmethod
+    def _write_optimizer_state(path: str,
+                               combined: Dict[str, np.ndarray]) -> None:
+        if not combined:
+            return
         opt_path = f"{path}.opt"
         tmp_path = opt_path + ".tmp"
         with open(tmp_path, "wb") as f:
             np.savez(f, **combined)
         os.replace(tmp_path, opt_path)
+
+    def save_optimizer_state(self, path: str) -> None:
+        """Persist optimizer state so a --cont run resumes Adam moments
+        / MultiSteps accumulators instead of resetting them."""
+        combined = self._gather_optimizer_state()
+        if is_main_process():
+            self._write_optimizer_state(path, combined)
 
     def load_optimizer_state(self, path: str) -> None:
         """Stage optimizer state from ``<path>.opt`` (written by
@@ -475,14 +507,15 @@ class TPUManager:
             self.best_score_step = step
             self.best_score_epoch = epoch
             ckpt_path = self.save(path, step=step)
-            link = path + ".best"
-            tmp_link = link + ".tmp"
-            if os.path.lexists(tmp_link):
-                os.remove(tmp_link)
-            os.symlink(os.path.basename(ckpt_path), tmp_link)
-            os.replace(tmp_link, link)
-            log(f"New best score {score:.4g}; {link} -> {ckpt_path}",
-                color="green")
+            if is_main_process():
+                link = path + ".best"
+                tmp_link = link + ".tmp"
+                if os.path.lexists(tmp_link):
+                    os.remove(tmp_link)
+                os.symlink(os.path.basename(ckpt_path), tmp_link)
+                os.replace(tmp_link, link)
+                log(f"New best score {score:.4g}; {link} -> {ckpt_path}",
+                    color="green")
         return is_better
 
     def initialize_vars_from(self, path: str) -> None:

@@ -28,6 +28,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                              "TensorBoard-compatible) to DIR")
     args = parser.parse_args(argv)
 
+    # multi-host: connect to the coordinator before any backend init
+    # (no-op unless NM_COORDINATOR_ADDRESS / NM_DISTRIBUTED is set)
+    from .parallel.distributed import maybe_initialize
+    maybe_initialize()
+
     exp = Experiment(args.config, train_mode=True,
                      overwrite_output_dir=args.overwrite,
                      config_changes=args.overrides)

@@ -106,3 +106,18 @@ def test_str_ini(tmp_path):
     _, val = _train("str.ini", str(tmp_path / "str"))
     assert val
     assert val[-1]["target/MSE"] < 2.0
+
+
+def test_audio_classifier_ini(tmp_path):
+    """Audio utterance classification: log-mel -> RawRNNEncoder ->
+    Classifier (first tone of the utterance, 3 classes)."""
+    _, val = _train("audio_classifier.ini", str(tmp_path / "ac"))
+    assert val
+    assert val[-1]["label/AccuracySeqLevel"] > 0.5
+
+
+def test_vocab_ini(tmp_path):
+    """vocabulary.from_wordlist (frequency wordlist file) end-to-end."""
+    _, val = _train("vocab.ini", str(tmp_path / "vocab"))
+    assert val
+    assert "target/BLEU-4" in val[-1]

@@ -1,0 +1,98 @@
+"""Multi-host plumbing tests (neuralmonkey_tpu.parallel.distributed).
+
+Real multi-process slices cannot run in CI; these tests exercise the
+single-process degenerate paths (which production single-host runs take)
+plus the global-array assembly on the 8-device virtual mesh, where
+per-device shards are nontrivial even with one process.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from neuralmonkey_tpu.parallel.distributed import (
+    fetch_to_host, is_main_process, make_global_array, maybe_initialize,
+    process_count, sync_processes)
+
+
+def _data_mesh():
+    return jax.sharding.Mesh(
+        np.array(jax.devices()), axis_names=("data",))
+
+
+def test_maybe_initialize_noop_without_env(monkeypatch):
+    monkeypatch.delenv("NM_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("NM_DISTRIBUTED", raising=False)
+    assert maybe_initialize() is False
+
+
+def test_single_process_helpers():
+    assert process_count() == 1
+    assert is_main_process()
+    sync_processes("test")  # no-op, must not hang
+
+
+def test_make_global_array_data_sharded():
+    mesh = _data_mesh()
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data"))
+    value = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    placed = make_global_array(value, sharding)
+    assert placed.shape == (16, 3)
+    # 8 devices -> 8 distinct row shards of 2 rows each
+    assert len(placed.addressable_shards) == 8
+    assert placed.addressable_shards[0].data.shape == (2, 3)
+    np.testing.assert_array_equal(np.asarray(placed), value)
+
+
+def test_make_global_array_replicated():
+    mesh = _data_mesh()
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec())
+    value = np.arange(6, dtype=np.int32)
+    placed = make_global_array(value, sharding)
+    np.testing.assert_array_equal(np.asarray(placed), value)
+    assert placed.addressable_shards[0].data.shape == (6,)
+
+
+def test_fetch_to_host_roundtrip():
+    mesh = _data_mesh()
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data"))
+    tree = {
+        "a": make_global_array(
+            np.ones((8, 4), np.float32), sharding),
+        "b": np.arange(3),
+    }
+    host = fetch_to_host(tree)
+    assert isinstance(host["a"], np.ndarray)
+    np.testing.assert_array_equal(host["a"], np.ones((8, 4)))
+    np.testing.assert_array_equal(host["b"], np.arange(3))
+
+
+def test_model_sharded_param_placement():
+    """make_global_array handles model-axis param sharding (the
+    _place_params path), not just batch sharding."""
+    if len(jax.devices()) % 2:
+        pytest.skip("needs an even device count")
+    devices = np.array(jax.devices()).reshape(-1, 2)
+    mesh = jax.sharding.Mesh(devices, axis_names=("data", "model"))
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("model", None))
+    value = np.random.RandomState(0).randn(64, 16).astype(np.float32)
+    placed = make_global_array(value, sharding)
+    np.testing.assert_array_equal(np.asarray(placed), value)
+    assert placed.addressable_shards[0].data.shape == (32, 16)
+
+
+def test_runtime_save_paths_single_process(tmp_path):
+    """TPUManager.save goes through fetch_to_host + main-process guard;
+    single-process this must behave exactly as before."""
+    from neuralmonkey_tpu.runtime import TPUManager
+    manager = TPUManager()
+    manager.params_list = [{"part": {"w": jax.numpy.ones((4, 4))}}]
+    path = str(tmp_path / "variables.data")
+    ckpt = manager.save(path, step=7)
+    assert ckpt.endswith("variables.data-7")
+    import os
+    assert os.path.exists(ckpt)
