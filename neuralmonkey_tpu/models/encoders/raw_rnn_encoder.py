@@ -15,6 +15,14 @@ from ...ops import nn
 from ...ops.rnn import bidirectional_rnn, unidirectional_rnn
 
 
+
+def _pallas_ok(ctx) -> bool:
+    # inference always may use Pallas kernels; training too now
+    # that the GRU scan has a hand-written BPTT kernel
+    # (ops/pallas_rnn.py), gated by NM_PALLAS_TRAIN
+    from ...ops.kernel_config import use_pallas_train
+    return (not ctx.train) or use_pallas_train()
+
 class RawRNNEncoder(ModelPart, TemporalStatefulWithOutput):
 
     def __init__(self, name: str,
@@ -98,11 +106,11 @@ class RawRNNEncoder(ModelPart, TemporalStatefulWithOutput):
             return bidirectional_rnn(self._fw, params["fw"],
                                      self._bw, params["bw"],
                                      inputs, mask,
-                                     allow_pallas=not ctx.train)
+                                     allow_pallas=_pallas_ok(ctx))
         return unidirectional_rnn(
             self._fw, params["fw"], inputs, mask,
             reverse=self.rnn_direction == "backward",
-            allow_pallas=not ctx.train)
+            allow_pallas=_pallas_ok(ctx))
 
     @tensor
     def temporal_states(self, ctx: Context):

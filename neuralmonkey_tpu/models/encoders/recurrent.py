@@ -25,6 +25,14 @@ from ...vocabulary import Vocabulary
 _DIRECTIONS = ("bidirectional", "forward", "backward")
 
 
+
+def _pallas_ok(ctx) -> bool:
+    # inference always may use Pallas kernels; training too now
+    # that the GRU scan has a hand-written BPTT kernel
+    # (ops/pallas_rnn.py), gated by NM_PALLAS_TRAIN
+    from ...ops.kernel_config import use_pallas_train
+    return (not ctx.train) or use_pallas_train()
+
 class RecurrentEncoder(ModelPart, TemporalStatefulWithOutput):
 
     def __init__(self, name: str,
@@ -108,13 +116,13 @@ class RecurrentEncoder(ModelPart, TemporalStatefulWithOutput):
                 states, final = bidirectional_rnn(
                     fw, params[f"layer_{i}_fw"],
                     bw, params[f"layer_{i}_bw"], states, mask,
-                    noise_rng=noise_rng, allow_pallas=not ctx.train)
+                    noise_rng=noise_rng, allow_pallas=_pallas_ok(ctx))
             else:
                 reverse = self.rnn_direction == "backward"
                 states, final = unidirectional_rnn(
                     fw, params[f"layer_{i}_fw"], states, mask,
                     reverse=reverse, noise_rng=noise_rng,
-                    allow_pallas=not ctx.train)
+                    allow_pallas=_pallas_ok(ctx))
             if i < len(self._cells) - 1:
                 states = ctx.dropout(
                     self, states, self.dropout_keep_prob,

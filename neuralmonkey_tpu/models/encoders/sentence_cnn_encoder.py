@@ -32,6 +32,14 @@ def _conv1d(x, kernel, stride: int = 1) -> jnp.ndarray:
         dimension_numbers=("NWC", "WIO", "NWC"))
 
 
+
+def _pallas_ok(ctx) -> bool:
+    # inference always may use Pallas kernels; training too now
+    # that the GRU scan has a hand-written BPTT kernel
+    # (ops/pallas_rnn.py), gated by NM_PALLAS_TRAIN
+    from ...ops.kernel_config import use_pallas_train
+    return (not ctx.train) or use_pallas_train()
+
 class SentenceCNNEncoder(ModelPart, TemporalStatefulWithOutput):
 
     def __init__(self, name: str,
@@ -124,7 +132,7 @@ class SentenceCNNEncoder(ModelPart, TemporalStatefulWithOutput):
         out, _ = bidirectional_rnn(self._fw, params["rnn_fw"],
                                    self._bw, params["rnn_bw"],
                                    states, mask,
-                                   allow_pallas=not ctx.train)
+                                   allow_pallas=_pallas_ok(ctx))
         return out
 
     @tensor
@@ -135,7 +143,7 @@ class SentenceCNNEncoder(ModelPart, TemporalStatefulWithOutput):
             _, final = bidirectional_rnn(self._fw, params["rnn_fw"],
                                          self._bw, params["rnn_bw"],
                                          self._cnn_states(ctx), mask,
-                                         allow_pallas=not ctx.train)
+                                         allow_pallas=_pallas_ok(ctx))
             return final
         states = self.temporal_states(ctx)
         return jnp.max(states, axis=1)

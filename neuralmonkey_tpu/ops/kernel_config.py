@@ -76,3 +76,14 @@ def pallas_interpret() -> bool:
     """Interpret mode for CPU-side testing of the kernels."""
     import jax
     return jax.devices()[0].platform not in ("tpu", "axon")
+
+
+@lru_cache(maxsize=1)
+def use_pallas_train() -> bool:
+    """Whether training paths may use Pallas kernels (the fused GRU
+    scan now has a hand-written BPTT kernel, so this is sound; default
+    follows use_pallas(), NM_PALLAS_TRAIN=0/1 overrides)."""
+    env = os.environ.get("NM_PALLAS_TRAIN")
+    if env is not None:
+        return env not in ("0", "false", "False", "") and use_pallas()
+    return use_pallas()

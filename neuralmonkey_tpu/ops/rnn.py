@@ -47,16 +47,17 @@ def unidirectional_rnn(cell, params, inputs: jnp.ndarray,
     (ops/pallas_rnn.py) — same semantics, state + recurrent weights
     pinned in VMEM.
     """
-    # Pallas scan is inference-only: its rematerialized VJP is not a
-    # supported training path (training passes allow_pallas=False and
-    # takes the XLA scan whose gradient lowering is first-class)
+    # The Pallas scan is differentiable via a hand-written BPTT kernel
+    # (ops/pallas_rnn.py); training eligibility is decided by callers
+    # through allow_pallas (kernel_config.use_pallas_train gate)
     if (allow_pallas and noise_rng is None
             and inputs.dtype == jnp.float32
             and all(p.dtype == jnp.float32
                     for p in jax.tree_util.tree_leaves(params))
             and _pallas_eligible(cell)):
-        from .pallas_rnn import gru_scan
-        return gru_scan(params, inputs, mask, reverse)
+        from .pallas_rnn import fits_vmem, gru_scan
+        if fits_vmem(inputs.shape[1], cell.hidden_dim):
+            return gru_scan(params, inputs, mask, reverse)
     batch = inputs.shape[0]
     time = inputs.shape[1]
     x_tm = jnp.swapaxes(inputs, 0, 1)          # (T, B, D)

@@ -167,3 +167,89 @@ def test_small_topk_matches_lax(shape, k):
     np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_r),
                                atol=1e-6)
     np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_r))
+
+
+# ---------------------------------------------------------------------- #
+# fused GRU scan: hand-written BPTT kernel vs XLA-derived gradients
+# ---------------------------------------------------------------------- #
+@pytest.mark.parametrize("reverse", [False, True])
+def test_gru_scan_gradients_match_lax_scan(reverse):
+    cell = nn.GRUCell(6, 5)
+    params = cell.init(jax.random.PRNGKey(3))
+    inputs = jnp.asarray(RNG.randn(3, 7, 6), jnp.float32)
+    mask = _mask(3, 7, [7, 4, 2])
+
+    def loss_ref(p, x):
+        out, final = unidirectional_rnn(
+            cell, p, x, mask, reverse=reverse, allow_pallas=False)
+        return jnp.sum(out * out) + jnp.sum(jnp.tanh(final))
+
+    def loss_pallas(p, x):
+        out, final = gru_scan(p, x, mask, reverse=reverse,
+                              batch_tile=2)
+        return jnp.sum(out * out) + jnp.sum(jnp.tanh(final))
+
+    ref_grads = jax.grad(loss_ref, argnums=(0, 1))(params, inputs)
+    got_grads = jax.grad(loss_pallas, argnums=(0, 1))(params, inputs)
+    for ref, got in zip(jax.tree_util.tree_leaves(ref_grads),
+                        jax.tree_util.tree_leaves(got_grads)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_bidirectional_gru_scan_grads_in_train_step(monkeypatch):
+    """End-to-end: a jitted value_and_grad through the bidirectional
+    Pallas scan equals the XLA-scan gradients. NM_USE_PALLAS=1 forces
+    the dispatch gate open on CPU (interpret mode)."""
+    from neuralmonkey_tpu.ops import kernel_config
+    monkeypatch.setenv("NM_USE_PALLAS", "1")
+    kernel_config.use_pallas.cache_clear()
+    kernel_config.use_pallas_train.cache_clear()
+    fw, bw = nn.GRUCell(4, 3), nn.GRUCell(4, 3)
+    p = {"fw": fw.init(jax.random.PRNGKey(4)),
+         "bw": bw.init(jax.random.PRNGKey(5))}
+    inputs = jnp.asarray(RNG.randn(5, 6, 4), jnp.float32)
+    mask = _mask(5, 6, [6, 5, 3, 2, 1])
+
+    def loss(params, use_pallas):
+        out, final = bidirectional_rnn(
+            fw, params["fw"], bw, params["bw"], inputs, mask,
+            allow_pallas=use_pallas)
+        return jnp.mean(out ** 2) + jnp.mean(final ** 2)
+
+    try:
+        ref = jax.grad(lambda q: loss(q, False))(p)
+        got = jax.jit(jax.grad(lambda q: loss(q, True)))(p)
+    finally:
+        monkeypatch.delenv("NM_USE_PALLAS")
+        kernel_config.use_pallas.cache_clear()
+        kernel_config.use_pallas_train.cache_clear()
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_gru_vmem_gate_and_tile_autofit():
+    from neuralmonkey_tpu.ops import pallas_rnn as pr
+    # production shapes fit; huge hidden sizes do not (weights alone
+    # exceed VMEM). Time never matters: the grid streams time slices.
+    assert pr.fits_vmem(48, 512)
+    assert pr.fits_vmem(4096, 512)
+    assert not pr.fits_vmem(48, 2048)
+    # the auto-fit shrinks the batch tile rather than overflowing
+    tile = pr._fit_batch_tile(
+        4096, 4096, lambda t: pr._bwd_block_bytes(t, 512))
+    assert tile % 8 == 0 and 8 <= tile < 4096
+    # and the kernel still matches the reference at a shrunken tile
+    cell = nn.GRUCell(4, 3)
+    params = cell.init(jax.random.PRNGKey(6))
+    inputs = jnp.asarray(RNG.randn(5, 4, 4), jnp.float32)
+    mask = _mask(5, 4, [4, 3, 2, 4, 1])
+    ref_out, ref_final = unidirectional_rnn(
+        cell, params, inputs, mask, allow_pallas=False)
+    out, final = gru_scan(params, inputs, mask, batch_tile=3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(final),
+                               np.asarray(ref_final), atol=1e-5)
