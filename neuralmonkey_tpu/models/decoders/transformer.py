@@ -170,8 +170,17 @@ class TransformerDecoder(AutoregressiveDecoder):
     # ------------------------------------------------------------------ #
     # incremental decode contract (greedy + beam search)
     # ------------------------------------------------------------------ #
+    @staticmethod
+    def _cache_dtype():
+        """Decode-time KV dtype: bf16 under the compute policy (halves
+        the beam-reorder gather + attention read traffic — the decode
+        step is cache-bandwidth-bound), float32 otherwise."""
+        from ...ops.policy import compute_dtype
+        return compute_dtype() or jnp.float32
+
     def decode_constants(self, ctx: Context):
         params = ctx.get_params(self)
+        cache_dtype = self._cache_dtype()
         constants: Dict[str, Any] = {
             "params": params,
             "embed_table":
@@ -186,8 +195,10 @@ class TransformerDecoder(AutoregressiveDecoder):
             for i in range(self.depth):
                 att_p = params[f"layer_{i}"][f"cross_att_{e}"]
                 per_layer.append(
-                    (nn.linear(att_p["k"], enc_states),
-                     nn.linear(att_p["v"], enc_states)))
+                    (nn.linear(att_p["k"], enc_states
+                               ).astype(cache_dtype),
+                     nn.linear(att_p["v"], enc_states
+                               ).astype(cache_dtype)))
             constants["enc_kv"].append(per_layer)
             constants["enc_bias"].append(
                 attention_bias_from_mask(enc.temporal_mask(ctx)))
@@ -204,13 +215,14 @@ class TransformerDecoder(AutoregressiveDecoder):
 
     def decode_initial_state(self, ctx: Context, constants):
         batch = self._batch_size(ctx)
+        cache_dtype = self._cache_dtype()
         caches = []
         for _ in range(self.depth):
             caches.append({
                 "k": jnp.zeros((batch, self.max_output_len,
-                                self.model_dim)),
+                                self.model_dim), cache_dtype),
                 "v": jnp.zeros((batch, self.max_output_len,
-                                self.model_dim)),
+                                self.model_dim), cache_dtype),
             })
         return tuple(caches)
 
@@ -241,9 +253,9 @@ class TransformerDecoder(AutoregressiveDecoder):
             k_t = nn.linear(att_p["k"], normed)
             v_t = nn.linear(att_p["v"], normed)
             k_cache = jax.lax.dynamic_update_slice_in_dim(
-                cache["k"], k_t, step, axis=1)
+                cache["k"], k_t.astype(cache["k"].dtype), step, axis=1)
             v_cache = jax.lax.dynamic_update_slice_in_dim(
-                cache["v"], v_t, step, axis=1)
+                cache["v"], v_t.astype(cache["v"].dtype), step, axis=1)
             new_caches.append({"k": k_cache, "v": v_cache})
             att = dot_product_attention(
                 split_heads(q, self.n_heads_self),

@@ -80,7 +80,10 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray,
                           dropout_keep_prob: float = 1.0) -> jnp.ndarray:
     """(B, H, Tq, Dh) x (B, H, Tk, Dh) -> (B, H, Tq, Dh)."""
     scale = 1.0 / math.sqrt(q.shape[-1])
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    # mixed dtypes (bf16 KV caches at decode) multiply on the MXU in
+    # the cache dtype; scores/softmax accumulate in float32
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(k.dtype), k,
+                        preferred_element_type=jnp.float32) * scale
     if bias is not None:
         scores = scores + bias
     weights = jax.nn.softmax(scores, axis=-1)
@@ -88,7 +91,8 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray,
         keep = jax.random.bernoulli(dropout_rng, dropout_keep_prob,
                                     weights.shape)
         weights = jnp.where(keep, weights / dropout_keep_prob, 0.0)
-    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
 
 
 def attention_bias_from_mask(mask: jnp.ndarray) -> jnp.ndarray:

@@ -275,11 +275,11 @@ def _gru_scan_pallas(params, inputs: jnp.ndarray, mask: jnp.ndarray,
       params["gates_h"].astype(jnp.float32),
       params["cand_h"].astype(jnp.float32))
 
+    # outputs stay float32 even for bf16 inputs — the same f32-carry
+    # semantics as the XLA scan path (ops/rnn.py state_dtype)
     outputs_tm, final = results[0], results[1][0]
     outputs = jnp.swapaxes(outputs_tm, 0, 1)[:batch]
     final = final[:batch]
-    outputs = outputs.astype(inputs.dtype)
-    final = final.astype(inputs.dtype)
     if save_carries:
         # residual kept TIME-MAJOR — the backward pass consumes it
         # directly, avoiding a transpose round-trip

@@ -51,12 +51,15 @@ def unidirectional_rnn(cell, params, inputs: jnp.ndarray,
     # (ops/pallas_rnn.py); training eligibility is decided by callers
     # through allow_pallas (kernel_config.use_pallas_train gate)
     if (allow_pallas and noise_rng is None
-            and inputs.dtype == jnp.float32
-            and all(p.dtype == jnp.float32
+            and inputs.dtype in (jnp.float32, jnp.bfloat16)
+            and all(p.dtype in (jnp.float32, jnp.bfloat16)
                     for p in jax.tree_util.tree_leaves(params))
             and _pallas_eligible(cell)):
         from .pallas_rnn import fits_vmem, gru_scan
         if fits_vmem(inputs.shape[1], cell.hidden_dim):
+            # bf16 policy: the hoisted input matmuls ride the bf16 MXU;
+            # the serial kernel computes f32 internally and returns f32
+            # states — exactly the XLA path's f32-carry semantics
             return gru_scan(params, inputs, mask, reverse)
     batch = inputs.shape[0]
     time = inputs.shape[1]

@@ -253,3 +253,22 @@ def test_gru_vmem_gate_and_tile_autofit():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(final),
                                np.asarray(ref_final), atol=1e-5)
+
+
+def test_gru_scan_bf16_matches_xla_bf16():
+    """Under the bf16 policy the kernel sees bf16 inputs/params; its
+    f32-internal compute must track the XLA scan's f32-carry result."""
+    cell = nn.GRUCell(6, 5)
+    params32 = cell.init(jax.random.PRNGKey(7))
+    params = {k: (v.astype(jnp.bfloat16) if v.ndim >= 2 else v)
+              for k, v in params32.items()}
+    inputs = jnp.asarray(RNG.randn(3, 7, 6), jnp.bfloat16)
+    mask = _mask(3, 7, [7, 4, 2])
+    ref_out, ref_final = unidirectional_rnn(
+        cell, params, inputs, mask, allow_pallas=False)
+    out, final = gru_scan(params, inputs, mask)
+    assert out.dtype == ref_out.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=3e-2)
+    np.testing.assert_allclose(np.asarray(final),
+                               np.asarray(ref_final), atol=3e-2)
