@@ -122,6 +122,36 @@ def verify_kernels_on_device() -> None:
     np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_r))
     print("kernel check: beam_select.small_topk OK", file=sys.stderr)
 
+    # streaming GRU scan + its hand-written BPTT kernel: values AND
+    # gradients against the XLA scan, on the real Mosaic lowering
+    from neuralmonkey_tpu.ops import nn as nn_ops
+    from neuralmonkey_tpu.ops.rnn import unidirectional_rnn
+    cell = nn_ops.GRUCell(128, 128)
+    params = cell.init(jax.random.PRNGKey(3))
+    gx = jnp.asarray(rng.randn(16, 24, 128).astype(np.float32))
+    gm = jnp.ones((16, 24), jnp.float32)
+
+    def scan_loss(p, pallas):
+        out, fin = unidirectional_rnn(cell, p, gx, gm,
+                                      allow_pallas=pallas)
+        return jnp.sum(out * out) + jnp.sum(jnp.tanh(fin))
+
+    g_ref = jax.jit(jax.grad(lambda p: scan_loss(p, False)))(params)
+    g_pal = jax.jit(jax.grad(lambda p: scan_loss(p, True)))(params)
+    for key in g_ref:
+        ref, pal = np.asarray(g_ref[key]), np.asarray(g_pal[key])
+        # Mosaic transcendentals differ from XLA by ~1e-3 relative and
+        # the divergence compounds through the 24-step BPTT; this
+        # check exists to catch GROSS lowering faults, so compare
+        # normalized: no element may deviate by >3% of the grad scale
+        scale = max(float(np.max(np.abs(ref))), 1e-6)
+        max_dev = float(np.max(np.abs(pal - ref))) / scale
+        assert max_dev < 3e-2, (
+            f"gru_scan BPTT grad '{key}' deviates {max_dev:.2%} "
+            "of grad scale on the real lowering")
+    print("kernel check: pallas_rnn.gru_scan fwd+BPTT OK",
+          file=sys.stderr)
+
 
 def tpu_throughput() -> float:
     """Whole search jitted on device."""

@@ -231,6 +231,42 @@ class Experiment:
             postprocess=model.postprocess,
             output_dir=self.output_dir)
 
+        if getattr(model, "visualize_embeddings", None):
+            self._write_embedding_projections(model.visualize_embeddings)
+
+    def _write_embedding_projections(self, sequences) -> None:
+        """[main] visualize_embeddings support (reference nm/train.py:
+        TensorBoard embedding projector). Writes, per embedded
+        sequence, ``<output>/<name>_embeddings.tsv`` (one vector per
+        row) and ``<name>_metadata.tsv`` (the vocabulary tokens) —
+        directly loadable into the projector or any external tool."""
+        from .parallel.distributed import is_main_process
+        if not is_main_process():
+            return
+        sequences = (sequences if isinstance(sequences, list)
+                     else [sequences])
+        params = self.tf_manager.params
+        for seq in sequences:
+            key = seq.param_key
+            table = params.get(key, {}).get("embeddings")
+            if table is None:
+                warn(f"visualize_embeddings: part '{seq.name}' has no "
+                     "embeddings table; skipped")
+                continue
+            table = np.asarray(table)
+            vec_path = os.path.join(self.output_dir,
+                                    f"{seq.name}_embeddings.tsv")
+            meta_path = os.path.join(self.output_dir,
+                                     f"{seq.name}_metadata.tsv")
+            with open(vec_path, "w", encoding="utf-8") as f:
+                for row in table:
+                    f.write("\t".join(f"{x:.6g}" for x in row) + "\n")
+            with open(meta_path, "w", encoding="utf-8") as f:
+                for token in seq.vocabulary.index_to_word:
+                    f.write(token + "\n")
+            log(f"Embedding projection for '{seq.name}' written to "
+                f"{vec_path}")
+
     def _latest_checkpoint(self) -> Optional[str]:
         """Most recent checkpoint for continuation (reference Saver
         semantics: resume from the latest save, not the best one)."""

@@ -162,3 +162,33 @@ def test_write_png_valid():
     size = struct.unpack(">I", blob[idx - 4:idx])[0]
     raw = zlib.decompress(blob[idx + 4:idx + 4 + size])
     assert len(raw) == height * (width + 1)  # +1 filter byte per row
+
+
+def test_visualize_embeddings_projection(tmp_path):
+    """[main] visualize_embeddings writes projector-compatible TSVs."""
+    import numpy as np
+    from neuralmonkey_tpu.experiment import Experiment
+    from neuralmonkey_tpu.model.sequence import EmbeddedSequence
+    from neuralmonkey_tpu.vocabulary import Vocabulary
+
+    vocab = Vocabulary()
+    for w in ("aa", "bb", "cc"):
+        vocab.add_word(w)
+    seq = EmbeddedSequence(name="emb", vocabulary=vocab,
+                           data_id="source", embedding_size=4)
+
+    exp = Experiment.__new__(Experiment)
+    exp.output_dir = str(tmp_path)
+
+    class FakeManager:
+        params = {"emb": {"embeddings":
+                          np.arange(len(vocab) * 4,
+                                    dtype=np.float32).reshape(-1, 4)}}
+    exp.tf_manager = FakeManager()
+    exp._write_embedding_projections([seq])
+
+    vecs = open(tmp_path / "emb_embeddings.tsv").read().splitlines()
+    meta = open(tmp_path / "emb_metadata.tsv").read().splitlines()
+    assert len(vecs) == len(meta) == len(vocab)
+    assert meta[-1] == "cc"
+    assert len(vecs[0].split("\t")) == 4
