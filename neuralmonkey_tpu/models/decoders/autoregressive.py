@@ -139,6 +139,25 @@ class AutoregressiveDecoder(ModelPart):
                     prev_ids: jnp.ndarray, step: Any):
         raise NotImplementedError
 
+    # Decoders whose per-beam loop state is dominated by position-
+    # indexed caches (transformer KV) may support *lineage decoding*:
+    # beam search then never physically reorders the loop state by
+    # parent indices (the dominant HBM cost of incremental decode —
+    # a gather+rewrite of every cache per step). Instead the search
+    # carries a (B, K, T) ancestry matrix and the decoder resolves it
+    # in score space (see TransformerDecoder.decode_step_lineage).
+    lineage_decode = False
+
+    def decode_step_lineage(self, constants: Any, loop_state: Any,
+                            prev_ids: jnp.ndarray, step: Any,
+                            anc: jnp.ndarray, beam: int):
+        """`decode_step` variant for lineage decoding: loop_state rows
+        stay owned by the beam slot that wrote them; ``anc[b, k, t]``
+        names the slot whose row at position t belongs to beam k's
+        hypothesis. Only decoders with ``lineage_decode = True``
+        implement this."""
+        raise NotImplementedError
+
     def align_logits_for_selection(self, constants: Any,
                                    lane: int = 128) -> Any:
         """Pad the logit projection inside decode constants so

@@ -22,6 +22,13 @@ rebuild. Here the whole search is a single jitted ``lax.while_loop``:
   (B, K, V)-sized intermediate is materialized;
 - early exit when every hypothesis has finished (while_loop, not scan,
   so short batches don't pay for max_steps);
+- *lineage decoding* for decoders that support it (transformer): the
+  per-step reorder of position-indexed caches — a gather+rewrite of
+  every layer's KV cache, the dominant HBM cost of transformer beam
+  decode — is replaced by a (B, K, T) ancestry matrix composed with
+  the parent indices each step; the decoder resolves lineage in score
+  space (TransformerDecoder.decode_step_lineage). Exactness is
+  equivalence-tested against the physical reorder;
 - checkpoint ensembling: E parameter sets are vmapped through the
   parent step inside the same jit and their distributions averaged —
   the reference's multi-session logit averaging without K processes
@@ -88,6 +95,7 @@ class BeamSearchDecoder(ModelPart):
                  use_approx_top_k: bool = False,
                  selection_method: str = "auto",
                  align_logits: bool = False,
+                 lineage: str = "auto",
                  reuse: ModelPart = None,
                  save_checkpoint: str = None,
                  load_checkpoint: str = None) -> None:
@@ -120,6 +128,29 @@ class BeamSearchDecoder(ModelPart):
         # semantics are equivalence-tested on CPU). Safe to enable
         # with NM_USE_PALLAS=0 or on backends without the fault.
         self.align_logits = align_logits
+        # lineage decoding: skip the physical per-step reorder of the
+        # parent's loop state (transformer KV caches — the dominant
+        # HBM cost of its beam decode) and resolve beam ancestry in
+        # score space instead (decode_step_lineage). 'auto' uses it
+        # whenever the parent supports it; NM_LINEAGE=0/1 overrides
+        # for A/B measurement.
+        if lineage not in ("auto", "on", "off"):
+            raise ValueError(f"Unknown lineage mode: {lineage}")
+        self.lineage = lineage
+
+    def _use_lineage(self) -> bool:
+        import os
+        env = os.environ.get("NM_LINEAGE")
+        if env is not None and env != "":
+            mode = "on" if env not in ("0", "off") else "off"
+        else:
+            mode = self.lineage
+        supported = getattr(self.parent_decoder, "lineage_decode", False)
+        if mode == "on" and not supported:
+            raise ValueError(
+                f"lineage='on' but {type(self.parent_decoder).__name__} "
+                "does not implement lineage decoding")
+        return mode != "off" and supported
 
     @property
     def vocabulary(self):
@@ -299,6 +330,9 @@ class BeamSearchDecoder(ModelPart):
         vocab = len(parent.vocabulary)
         max_steps = self.max_steps
         n_models = len(constants_list)
+        use_lineage = self._use_lineage()
+        # ancestry rows index the parent's position-indexed caches
+        cache_len = parent.max_output_len
 
         method = self.selection_method
         if method == "auto":
@@ -346,19 +380,25 @@ class BeamSearchDecoder(ModelPart):
         prev_ids0 = jnp.full((batch * beam,), START_TOKEN_INDEX,
                              jnp.int32)
 
-        def model_scores(model_states, prev_ids, step):
+        def step_fn(c, s, prev_ids, step, anc):
+            if use_lineage:
+                return parent.decode_step_lineage(
+                    c, s, prev_ids, step, anc, beam)
+            return parent.decode_step(c, s, prev_ids, step)
+
+        def model_scores(model_states, prev_ids, step, anc):
             """Per-beam next-token scores. Returns raw logits for a
             single model (selection only needs a per-beam monotone
             score; full normalization happens lazily inside the
             selector) or ensemble-averaged log-probs (already
             normalized: their logsumexp is exactly 0)."""
             if n_models == 1:
-                new_states, logits, _ = parent.decode_step(
-                    stacked_constants, model_states, prev_ids, step)
+                new_states, logits, _ = step_fn(
+                    stacked_constants, model_states, prev_ids, step,
+                    anc)
                 return new_states, logits, False
             def one(c, s):
-                new_s, logits, _ = parent.decode_step(
-                    c, s, prev_ids, step)
+                new_s, logits, _ = step_fn(c, s, prev_ids, step, anc)
                 return new_s, jax.nn.log_softmax(logits, axis=-1)
             new_states, logprobs = jax.vmap(one)(
                 stacked_constants, model_states)
@@ -369,20 +409,35 @@ class BeamSearchDecoder(ModelPart):
         select_fn = (self._select_hier if method == "hierarchical"
                      else self._select_flat)
 
+        # lineage ancestry starts as the identity: every position of
+        # every beam slot is (to be) written by that slot itself
+        anc0 = jnp.broadcast_to(
+            jnp.arange(beam, dtype=jnp.int32)[None, :, None],
+            (batch, beam, cache_len))
+
         def cond(carry):
-            step, _, _, search, _ = carry
+            step, _, _, search, _, _ = carry
             return jnp.logical_and(step < max_steps,
                                    ~jnp.all(search.finished))
 
         def body(carry):
-            step, model_states, prev_ids, search, _ = carry
+            step, model_states, prev_ids, search, _, anc = carry
             new_model_states, x, normalized = model_scores(
-                model_states, prev_ids, step)
+                model_states, prev_ids, step, anc)
             parents, tokens, new_logprob, top_scores = select_fn(
                 x, normalized, search, batch)
 
+            if use_lineage:
+                # loop state is never reordered; compose the ancestry
+                # instead: inherit the parent's lineage for written
+                # positions, stay identity for future ones (each slot
+                # writes its own row)
+                inherited = jnp.take_along_axis(
+                    anc, parents[..., None], axis=1)
+                pos = jnp.arange(cache_len)[None, None, :]
+                anc = jnp.where(pos <= step, inherited, anc0)
             # gather beam-indexed decoder state by parents
-            if n_models > 1:
+            elif n_models > 1:
                 new_model_states = jax.tree_util.tree_map(
                     lambda x: jax.vmap(
                         lambda arr: _gather_beams(
@@ -420,12 +475,12 @@ class BeamSearchDecoder(ModelPart):
                 finished=new_finished,
                 token_ids=new_token_ids)
             return (step + 1, new_model_states, emit.reshape(-1),
-                    new_search, top_scores)
+                    new_search, top_scores, anc)
 
         init_scores = jnp.zeros((batch, beam))
         carry = (jnp.asarray(0, jnp.int32), stacked_states, prev_ids0,
-                 search0, init_scores)
-        _, _, _, search, _ = jax.lax.while_loop(cond, body, carry)
+                 search0, init_scores, anc0)
+        _, _, _, search, _, _ = jax.lax.while_loop(cond, body, carry)
 
         final_scores = search.logprob_sum / length_penalty(
             search.lengths, self.length_normalization)

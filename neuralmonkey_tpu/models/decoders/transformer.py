@@ -281,3 +281,105 @@ class TransformerDecoder(AutoregressiveDecoder):
         x = layer_norm(params["ln_out"], x)[:, 0, :]  # (B, D)
         logits = self._logits_from_states(params, table, x)
         return tuple(new_caches), logits, {}
+
+    # ------------------------------------------------------------------ #
+    # lineage decoding: beam search without physical cache reorder
+    # ------------------------------------------------------------------ #
+    lineage_decode = True
+
+    def decode_step_lineage(self, constants: Any, loop_state: Any,
+                            prev_ids: jnp.ndarray, step: Any,
+                            anc: jnp.ndarray, beam: int):
+        """Beam-search step with ancestry-resolved self-attention.
+
+        The physical beam reorder gathers + rewrites every layer's KV
+        cache each step — measured as THE dominant cost of transformer
+        beam decode (TPU gather ≈ 2.7× a copy; ~750 MB/step at the
+        bench shape). Here caches stay unpermuted (each row owned by
+        the beam slot that wrote it) and lineage is resolved in score
+        space: self-attention scores are computed against *all* K beam
+        slots (a factor-K more score FLOPs — a few GFLOP/step, noise
+        next to the saved HBM traffic) and reduced through the one-hot
+        ancestry mask ``anc[b, k, t]``. Per (k, t) exactly one slot
+        matches, and masked products are exact float zeros, so the
+        result equals the physically-reordered attention bit-for-bit
+        up to reduction order.
+        """
+        params = constants["params"]
+        table = constants["embed_table"]
+        caches = loop_state
+        rows = prev_ids.shape[0]
+        batch = rows // beam
+        length = self.max_output_len
+
+        x = jnp.take(table, prev_ids, axis=0)
+        x = x * jnp.sqrt(jnp.asarray(self.model_dim, x.dtype))
+        x = x + sinusoidal_position_encoding(
+            length, self.model_dim, x.dtype)[step]
+        x = x[:, None, :]  # (B*K, 1, D)
+
+        positions = jnp.arange(length)
+        # (1, 1, 1, T): positions beyond `step` masked for every head
+        cache_bias = jnp.where(positions <= step, 0.0,
+                               NEG_INF)[None, None, None, :]
+        # one-hot lineage mask (B, K, J, T), shared by all layers;
+        # future positions hold the identity slot (the search resets
+        # them after every selection), so they are exact too
+        lineage = (anc[:, :, None, :]
+                   == jnp.arange(beam, dtype=anc.dtype)[
+                       None, None, :, None]).astype(jnp.float32)
+
+        heads = self.n_heads_self
+        head_dim = self.model_dim // heads
+        scale = 1.0 / (head_dim ** 0.5)
+
+        new_caches = []
+        for i in range(self.depth):
+            layer = params[f"layer_{i}"]
+            cache = caches[i]
+            normed = layer_norm(layer["ln_self"], x)
+            att_p = layer["self_att"]
+            q = nn.linear(att_p["q"], normed)
+            k_t = nn.linear(att_p["k"], normed)
+            v_t = nn.linear(att_p["v"], normed)
+            # each beam writes its OWN row — never reordered
+            k_cache = jax.lax.dynamic_update_slice_in_dim(
+                cache["k"], k_t.astype(cache["k"].dtype), step, axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(
+                cache["v"], v_t.astype(cache["v"].dtype), step, axis=1)
+            new_caches.append({"k": k_cache, "v": v_cache})
+
+            qh = q.reshape(batch, beam, heads, head_dim)
+            kh = k_cache.reshape(batch, beam, length, heads, head_dim)
+            vh = v_cache.reshape(batch, beam, length, heads, head_dim)
+            # scores vs every slot j, then lineage-reduce over j
+            s_full = jnp.einsum(
+                "bkhd,bjthd->bhkjt", qh.astype(kh.dtype), kh,
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.einsum("bhkjt,bkjt->bhkt", s_full, lineage)
+            weights = jax.nn.softmax(s + cache_bias, axis=-1)
+            w_slot = jnp.einsum("bhkt,bkjt->bhkjt", weights,
+                                lineage).astype(vh.dtype)
+            ctx_v = jnp.einsum(
+                "bhkjt,bjthd->bkhd", w_slot, vh,
+                preferred_element_type=jnp.float32)
+            att = ctx_v.reshape(rows, 1, self.model_dim)
+            x = x + nn.linear(att_p["o"], att)
+
+            for e in range(len(self.encoders)):
+                normed = layer_norm(layer[f"ln_cross_{e}"], x)
+                att_p = layer[f"cross_att_{e}"]
+                q = nn.linear(att_p["q"], normed)
+                k_enc, v_enc = constants["enc_kv"][e][i]
+                cross = dot_product_attention(
+                    split_heads(q, self.n_heads_enc),
+                    split_heads(k_enc, self.n_heads_enc),
+                    split_heads(v_enc, self.n_heads_enc),
+                    constants["enc_bias"][e])
+                x = x + nn.linear(att_p["o"], merge_heads(cross))
+            normed = layer_norm(layer["ln_ff"], x)
+            x = x + ffn(layer["ff"], normed)
+
+        x = layer_norm(params["ln_out"], x)[:, 0, :]
+        logits = self._logits_from_states(params, table, x)
+        return tuple(new_caches), logits, {}

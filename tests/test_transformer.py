@@ -161,3 +161,45 @@ def test_transformer_overfits_toy(model):
         if first is None:
             first = float(l)
     assert float(l) < first * 0.5
+
+
+def test_beam_lineage_matches_physical(model):
+    """Lineage decoding (no physical cache reorder) must reproduce the
+    gather-reordered beam search: identical hypotheses, equal scores
+    up to reduction order."""
+    _, dec, params, batch = model
+    outs = {}
+    for mode in ("off", "on"):
+        bs = BeamSearchDecoder(
+            name=f"lbs_{mode}", parent_decoder=dec, beam_size=4,
+            length_normalization=0.6, lineage=mode)
+        outs[mode] = bs.search(Context(params, batch, train=False))
+    np.testing.assert_allclose(
+        np.asarray(outs["on"].scores), np.asarray(outs["off"].scores),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(outs["on"].token_ids),
+        np.asarray(outs["off"].token_ids))
+    np.testing.assert_array_equal(
+        np.asarray(outs["on"].lengths),
+        np.asarray(outs["off"].lengths))
+
+
+def test_beam_lineage_ensemble_matches_physical(model):
+    _, dec, params, batch = model
+    params_b = init_all_params(
+        collect_parts([dec]), jax.random.PRNGKey(7))
+    ctxs = [Context(params, batch, train=False),
+            Context(params_b, batch, train=False)]
+    outs = {}
+    for mode in ("off", "on"):
+        bs = BeamSearchDecoder(
+            name=f"ebs_{mode}", parent_decoder=dec, beam_size=3,
+            length_normalization=0.6, lineage=mode)
+        outs[mode] = bs.ensemble_search(ctxs)
+    np.testing.assert_allclose(
+        np.asarray(outs["on"].scores), np.asarray(outs["off"].scores),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(outs["on"].token_ids),
+        np.asarray(outs["off"].token_ids))
