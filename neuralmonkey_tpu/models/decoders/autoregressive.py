@@ -158,6 +158,14 @@ class AutoregressiveDecoder(ModelPart):
         implement this."""
         raise NotImplementedError
 
+    def tile_decode_constants_lineage(self, constants, k: int):
+        """Constants preparation for lineage decoding. Defaults to the
+        plain beam tiling; lineage-capable decoders override it to
+        keep beam-invariant constants (e.g. encoder K/V) untiled —
+        ``decode_step_lineage`` receives the beam factor and shares
+        them across beams, cutting their per-step HBM reads by K."""
+        return self.tile_decode_constants(constants, k)
+
     def align_logits_for_selection(self, constants: Any,
                                    lane: int = 128) -> Any:
         """Pad the logit projection inside decode constants so

@@ -352,10 +352,11 @@ class BeamSearchDecoder(ModelPart):
                 for c in constants_list]
 
         # tile constants/states to batch*beam (the parent knows which
-        # constants carry a batch axis — parameters must not be tiled)
-        tiled_constants = [
-            parent.tile_decode_constants(c, beam)
-            for c in constants_list]
+        # constants carry a batch axis — parameters must not be tiled;
+        # lineage decoders keep beam-invariant constants untiled)
+        tile_fn = (parent.tile_decode_constants_lineage if use_lineage
+                   else parent.tile_decode_constants)
+        tiled_constants = [tile_fn(c, beam) for c in constants_list]
         tiled_states = [_tile_beam(s, beam) for s in init_states]
         if n_models > 1:
             stacked_constants = jax.tree_util.tree_map(

@@ -213,6 +213,13 @@ class TransformerDecoder(AutoregressiveDecoder):
             rep, constants["enc_bias"])
         return tiled
 
+    def tile_decode_constants_lineage(self, constants, k: int):
+        """Cross-attention K/V and masks are beam-invariant: keep ONE
+        copy per sentence. The tiled layout re-reads K identical
+        copies every step (~750 MB/step at the bench shape) — the
+        lineage step shares them across the beam instead."""
+        return dict(constants)
+
     def decode_initial_state(self, ctx: Context, constants):
         batch = self._batch_size(ctx)
         cache_dtype = self._cache_dtype()
@@ -366,17 +373,32 @@ class TransformerDecoder(AutoregressiveDecoder):
             att = ctx_v.reshape(rows, 1, self.model_dim)
             x = x + nn.linear(att_p["o"], att)
 
+            heads_e = self.n_heads_enc
+            dh_e = self.model_dim // heads_e
             for e in range(len(self.encoders)):
                 normed = layer_norm(layer[f"ln_cross_{e}"], x)
                 att_p = layer[f"cross_att_{e}"]
                 q = nn.linear(att_p["q"], normed)
+                # enc K/V kept UNtiled (one copy per sentence, see
+                # tile_decode_constants_lineage) — all K beams attend
+                # to the same keys, so fold the beam into the query
                 k_enc, v_enc = constants["enc_kv"][e][i]
-                cross = dot_product_attention(
-                    split_heads(q, self.n_heads_enc),
-                    split_heads(k_enc, self.n_heads_enc),
-                    split_heads(v_enc, self.n_heads_enc),
-                    constants["enc_bias"][e])
-                x = x + nn.linear(att_p["o"], merge_heads(cross))
+                src_len = k_enc.shape[1]
+                qe = q.reshape(batch, beam, heads_e, dh_e)
+                ke = k_enc.reshape(batch, src_len, heads_e, dh_e)
+                ve = v_enc.reshape(batch, src_len, heads_e, dh_e)
+                scale_e = 1.0 / (dh_e ** 0.5)
+                s_e = jnp.einsum(
+                    "bkhd,bthd->bhkt", qe.astype(ke.dtype), ke,
+                    preferred_element_type=jnp.float32) * scale_e
+                # enc_bias is (B, 1, 1, T): broadcasts over heads/beams
+                w_e = jax.nn.softmax(
+                    s_e + constants["enc_bias"][e], axis=-1)
+                cross = jnp.einsum(
+                    "bhkt,bthd->bkhd", w_e.astype(ve.dtype), ve,
+                    preferred_element_type=jnp.float32)
+                cross = cross.reshape(rows, 1, self.model_dim)
+                x = x + nn.linear(att_p["o"], cross)
             normed = layer_norm(layer["ln_ff"], x)
             x = x + ffn(layer["ff"], normed)
 
