@@ -99,6 +99,32 @@ class BaseAttention(ModelPart):
         return jax.tree_util.tree_map(
             lambda x: jnp.repeat(x, k, axis=0), constants)
 
+    # Attentions whose constants are beam-invariant (the encoder keys/
+    # values/mask never depend on the hypothesis) can serve all K beams
+    # from ONE copy: lineage beam decoding then reads them once per
+    # step instead of K times — they were the dominant per-step HBM
+    # traffic of the RNN beam decode. Opt in by setting
+    # ``beam_shared_constants = True`` and implementing ``step_beamed``.
+    beam_shared_constants = False
+
+    def tile_constants_lineage(self, constants, k: int):
+        """Constants preparation for lineage beam decoding: shared
+        (untiled) when this attention implements ``step_beamed``,
+        otherwise the plain per-beam tiling."""
+        if self.beam_shared_constants:
+            return constants
+        return self.tile_constants(constants, k)
+
+    def step_beamed(self, params: Dict[str, Any],
+                    constants: AttentionConstants,
+                    query: jnp.ndarray, beam: int
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """One step over UNtiled constants: ``query`` has B·beam rows,
+        the constants batch B. Returns flat (B·beam, ...) outputs like
+        ``step``. Only ``beam_shared_constants = True`` attentions
+        implement this."""
+        raise NotImplementedError
+
     def step(self, params: Dict[str, Any],
              constants: AttentionConstants,
              query: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -80,6 +80,27 @@ class Attention(BaseAttention):
         context = jnp.einsum("bt,btd->bd", weights, constants.states)
         return context, weights
 
+    beam_shared_constants = True
+
+    def step_beamed(self, params, constants: AttentionConstants,
+                    query, beam: int):
+        """Beam step over ONE shared copy of keys/states: the beam axis
+        folds into the query and the precomputed key projections
+        broadcast — per-step constant reads drop by the beam factor
+        (the dominant HBM traffic of the RNN beam decode)."""
+        rows = query.shape[0]
+        batch = rows // beam
+        pq = nn.linear(params["query_proj"], query)
+        pq = pq.reshape(batch, beam, 1, pq.shape[-1])
+        energies = jnp.einsum(
+            "bkta,a->bkt",
+            jnp.tanh(constants.keys[:, None, :, :] + pq),
+            params["similarity_v"])
+        weights = masked_softmax(energies, constants.mask[:, None, :])
+        context = jnp.einsum("bkt,btd->bkd", weights, constants.states)
+        return (context.reshape(rows, context.shape[-1]),
+                weights.reshape(rows, weights.shape[-1]))
+
     def attend_sequence(self, params: Any, constants: Any, queries: Any):
         """All-steps-at-once variant for teacher forcing: queries
         (B, Tq, q) -> contexts (B, Tq, d), weights (B, Tq, T)."""
@@ -116,6 +137,10 @@ class CoverageAttention(Attention):
     @property
     def stateful_attention(self) -> bool:
         return True
+
+    # the coverage step threads per-beam state through tiled
+    # constants; keep the plain tiling under lineage decoding
+    beam_shared_constants = False
 
     def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         params = super().init_params(rng)

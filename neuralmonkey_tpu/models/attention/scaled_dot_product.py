@@ -72,6 +72,23 @@ class ScaledDotProdAttention(BaseAttention):
         context = jnp.einsum("bt,btd->bd", weights, constants.states)
         return context, weights
 
+    beam_shared_constants = True
+
+    def step_beamed(self, params, constants: AttentionConstants,
+                    query, beam: int):
+        """Beam step over one shared copy of keys/values (see
+        base_attention.step_beamed)."""
+        rows = query.shape[0]
+        batch = rows // beam
+        query = self._project(params, query)
+        q = query.reshape(batch, beam, query.shape[-1])
+        scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(q.dtype)
+        energies = jnp.einsum("bkd,btd->bkt", q, constants.keys) * scale
+        weights = masked_softmax(energies, constants.mask[:, None, :])
+        context = jnp.einsum("bkt,btd->bkd", weights, constants.states)
+        return (context.reshape(rows, context.shape[-1]),
+                weights.reshape(rows, weights.shape[-1]))
+
     def attend_sequence(self, params: Any, constants: Any, queries: Any):
         queries = self._project(params, queries)
         scale = 1.0 / jnp.sqrt(queries.shape[-1]).astype(queries.dtype)

@@ -160,9 +160,11 @@ class Decoder(AutoregressiveDecoder):
                 states.append(None)
         return tuple(states)
 
-    def _attend_all(self, constants, query, att_states):
+    def _attend_all(self, constants, query, att_states, beam=None):
         """Run every attention for one step. Returns (contexts list,
-        weights list, new att_states)."""
+        weights list, new att_states). With ``beam`` set (lineage beam
+        decoding), beam-sharing attentions get their UNtiled constants
+        and fold the beam axis internally."""
         contexts, weights, new_states = [], [], []
         for i, att in enumerate(self.attentions):
             p = constants["att_params"][i]
@@ -172,14 +174,17 @@ class Decoder(AutoregressiveDecoder):
                     p, c, query, att_states[i])
                 new_states.append(new_cov)
             else:
-                context, w = att.step(p, c, query)
+                if beam is not None and att.beam_shared_constants:
+                    context, w = att.step_beamed(p, c, query, beam)
+                else:
+                    context, w = att.step(p, c, query)
                 new_states.append(None)
             contexts.append(context)
             weights.append(w)
         return contexts, weights, tuple(new_states)
 
     def _cell_step(self, constants, state, att_states, embedded_prev,
-                   noise_rng=None):
+                   noise_rng=None, beam=None):
         """One decoder cell step. Returns
         (new_state, prelogit_input, weights, new_att_states)."""
         params = constants["params"]
@@ -192,7 +197,7 @@ class Decoder(AutoregressiveDecoder):
                                    **cell1_kwargs)
             if self.attentions:
                 contexts, weights, new_att = self._attend_all(
-                    constants, inter, att_states)
+                    constants, inter, att_states, beam=beam)
                 context_cat = jnp.concatenate(contexts, axis=-1)
                 new_state, _ = self._cell2(
                     params["cell2"], inter, context_cat)
@@ -203,7 +208,7 @@ class Decoder(AutoregressiveDecoder):
         else:
             if self.attentions:
                 contexts, weights, new_att = self._attend_all(
-                    constants, state, att_states)
+                    constants, state, att_states, beam=beam)
                 context_cat = jnp.concatenate(contexts, axis=-1)
                 cell_in = jnp.concatenate(
                     [embedded_prev, context_cat], axis=-1)
@@ -315,6 +320,54 @@ class Decoder(AutoregressiveDecoder):
             for att, c in zip(self.attentions,
                               constants["att_constants"]))
         return tiled
+
+    # ------------------------------------------------------------------ #
+    # lineage decoding: beam search without post-step state reorder.
+    # Unlike the transformer (position-indexed KV caches resolved via
+    # the ancestry mask), the RNN's loop state is one small hidden
+    # vector — the win here is NOT skipping its reorder but sharing
+    # the attention constants across the beam: the tiled keys/values
+    # re-read K identical copies every step, the dominant HBM traffic
+    # of the RNN beam decode.
+    # ------------------------------------------------------------------ #
+    lineage_decode = True
+
+    def tile_decode_constants_lineage(self, constants, k: int):
+        tiled = dict(constants)
+        tiled["att_constants"] = tuple(
+            att.tile_constants_lineage(c, k)
+            for att, c in zip(self.attentions,
+                              constants["att_constants"]))
+        return tiled
+
+    def decode_step_lineage(self, constants: Any, loop_state: Any,
+                            prev_ids: jnp.ndarray, step: Any,
+                            anc: jnp.ndarray, beam: int):
+        """The recurrent state is gathered HERE by the previous
+        selection's parents — ``anc[:, :, step-1]`` is exactly that
+        slot (identity at step 0, where dynamic indexing clamps) —
+        instead of by the search after the step; semantically the same
+        reorder, one step later. Attention constants stay shared
+        across the beam (see ``_attend_all``)."""
+        state, att_states = loop_state
+        rows = prev_ids.shape[0]
+        batch = rows // beam
+        parents = jax.lax.dynamic_index_in_dim(
+            anc, step - 1, axis=2, keepdims=False)
+        flat = ((jnp.arange(batch, dtype=jnp.int32) * beam)[:, None]
+                + parents).reshape(-1)
+        gather = lambda x: (None if x is None
+                            else jnp.take(x, flat, axis=0))
+        state = gather(state)
+        att_states = tuple(gather(s) for s in att_states)
+        embedded_prev = jnp.take(constants["embed_table"], prev_ids,
+                                 axis=0)
+        new_state, prelogit_in, weights, new_att = self._cell_step(
+            constants, state, att_states, embedded_prev, beam=beam)
+        prelogit = self._prelogit(constants["params"], prelogit_in)
+        logits = self._logits(constants, prelogit)
+        aux = {"attention_weights": tuple(weights)}
+        return (new_state, new_att), logits, aux
 
     def decode_initial_state(self, ctx: Context, constants):
         return (self.initial_state(ctx),

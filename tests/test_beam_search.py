@@ -229,3 +229,41 @@ def test_hierarchical_with_tied_embeddings(model):
                                   outs["hierarchical"].token_ids)
     np.testing.assert_allclose(outs["flat"].scores,
                                outs["hierarchical"].scores, atol=1e-5)
+
+
+def test_rnn_lineage_matches_physical(model):
+    """RNN lineage decoding (shared attention constants, in-step state
+    gather) must reproduce the physically-reordered search."""
+    dec, params, batch = model
+    outs = {}
+    for mode in ("off", "on"):
+        bs = BeamSearchDecoder(
+            name=f"rlin_{mode}", parent_decoder=dec, beam_size=4,
+            length_normalization=0.6, lineage=mode)
+        outs[mode] = bs.search(Context(params, batch, train=False))
+    np.testing.assert_allclose(
+        np.asarray(outs["on"].scores), np.asarray(outs["off"].scores),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(outs["on"].token_ids),
+        np.asarray(outs["off"].token_ids))
+
+
+def test_rnn_lineage_ensemble_matches_physical(model):
+    dec, params, batch = model
+    params_b = init_all_params(
+        collect_parts([dec]), jax.random.PRNGKey(5))
+    ctxs = [Context(params, batch, train=False),
+            Context(params_b, batch, train=False)]
+    outs = {}
+    for mode in ("off", "on"):
+        bs = BeamSearchDecoder(
+            name=f"rlen_{mode}", parent_decoder=dec, beam_size=3,
+            length_normalization=0.6, lineage=mode)
+        outs[mode] = bs.ensemble_search(ctxs)
+    np.testing.assert_allclose(
+        np.asarray(outs["on"].scores), np.asarray(outs["off"].scores),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(outs["on"].token_ids),
+        np.asarray(outs["off"].token_ids))
