@@ -172,9 +172,16 @@ class TransformerDecoder(AutoregressiveDecoder):
     # ------------------------------------------------------------------ #
     @staticmethod
     def _cache_dtype():
-        """Decode-time KV dtype: bf16 under the compute policy (halves
-        the beam-reorder gather + attention read traffic — the decode
-        step is cache-bandwidth-bound), float32 otherwise."""
+        """Decode-time KV dtype: follows the compute policy.
+
+        Measured round 4 (lineage decoding): f32 caches DECODE FASTER
+        than bf16 caches under the f32 policy (316 vs 277 sent/s) even
+        though bf16 halves the per-step attention-read bytes — the
+        mixed-dtype lineage einsums (bf16 operands, f32 accumulation)
+        lower worse than pure f32 at these shapes. bf16 caches only
+        paid when the physical gather-reorder dominated (round 3:
+        104 → 174). Keep the dtype tied to the policy; don't force
+        bf16 caches independently."""
         from ...ops.policy import compute_dtype
         return compute_dtype() or jnp.float32
 
