@@ -150,12 +150,16 @@ class AutoregressiveDecoder(ModelPart):
 
     def decode_step_lineage(self, constants: Any, loop_state: Any,
                             prev_ids: jnp.ndarray, step: Any,
-                            anc: jnp.ndarray, beam: int):
+                            anc: jnp.ndarray, beam: int,
+                            window: int = None):
         """`decode_step` variant for lineage decoding: loop_state rows
         stay owned by the beam slot that wrote them; ``anc[b, k, t]``
         names the slot whose row at position t belongs to beam k's
-        hypothesis. Only decoders with ``lineage_decode = True``
-        implement this."""
+        hypothesis. ``window`` is a STATIC bound > step: positions at
+        or beyond it are known-invalid, so position-indexed caches may
+        be read only up to it (the search runs segmented loops with
+        growing windows to cut early-step cache traffic). Only
+        decoders with ``lineage_decode = True`` implement this."""
         raise NotImplementedError
 
     def tile_decode_constants_lineage(self, constants, k: int):

@@ -381,13 +381,13 @@ class BeamSearchDecoder(ModelPart):
         prev_ids0 = jnp.full((batch * beam,), START_TOKEN_INDEX,
                              jnp.int32)
 
-        def step_fn(c, s, prev_ids, step, anc):
+        def step_fn(c, s, prev_ids, step, anc, window):
             if use_lineage:
                 return parent.decode_step_lineage(
-                    c, s, prev_ids, step, anc, beam)
+                    c, s, prev_ids, step, anc, beam, window=window)
             return parent.decode_step(c, s, prev_ids, step)
 
-        def model_scores(model_states, prev_ids, step, anc):
+        def model_scores(model_states, prev_ids, step, anc, window):
             """Per-beam next-token scores. Returns raw logits for a
             single model (selection only needs a per-beam monotone
             score; full normalization happens lazily inside the
@@ -396,10 +396,11 @@ class BeamSearchDecoder(ModelPart):
             if n_models == 1:
                 new_states, logits, _ = step_fn(
                     stacked_constants, model_states, prev_ids, step,
-                    anc)
+                    anc, window)
                 return new_states, logits, False
             def one(c, s):
-                new_s, logits, _ = step_fn(c, s, prev_ids, step, anc)
+                new_s, logits, _ = step_fn(c, s, prev_ids, step, anc,
+                                           window)
                 return new_s, jax.nn.log_softmax(logits, axis=-1)
             new_states, logprobs = jax.vmap(one)(
                 stacked_constants, model_states)
@@ -416,72 +417,92 @@ class BeamSearchDecoder(ModelPart):
             jnp.arange(beam, dtype=jnp.int32)[None, :, None],
             (batch, beam, cache_len))
 
-        def cond(carry):
-            step, _, _, search, _, _ = carry
-            return jnp.logical_and(step < max_steps,
-                                   ~jnp.all(search.finished))
+        def make_cond(bound):
+            def cond(carry):
+                step, _, _, search, _, _ = carry
+                return jnp.logical_and(step < bound,
+                                       ~jnp.all(search.finished))
+            return cond
 
-        def body(carry):
-            step, model_states, prev_ids, search, _, anc = carry
-            new_model_states, x, normalized = model_scores(
-                model_states, prev_ids, step, anc)
-            parents, tokens, new_logprob, top_scores = select_fn(
-                x, normalized, search, batch)
+        def make_body(window):
+            def body(carry):
+                step, model_states, prev_ids, search, _, anc = carry
+                new_model_states, x, normalized = model_scores(
+                    model_states, prev_ids, step, anc, window)
+                parents, tokens, new_logprob, top_scores = select_fn(
+                    x, normalized, search, batch)
 
-            if use_lineage:
-                # loop state is never reordered; compose the ancestry
-                # instead: inherit the parent's lineage for written
-                # positions, stay identity for future ones (each slot
-                # writes its own row)
-                inherited = jnp.take_along_axis(
-                    anc, parents[..., None], axis=1)
-                pos = jnp.arange(cache_len)[None, None, :]
-                anc = jnp.where(pos <= step, inherited, anc0)
-            # gather beam-indexed decoder state by parents
-            elif n_models > 1:
-                new_model_states = jax.tree_util.tree_map(
-                    lambda x: jax.vmap(
-                        lambda arr: _gather_beams(
-                            arr, parents, batch, beam))(x),
-                    new_model_states)
-            else:
-                new_model_states = _gather_beams(
-                    new_model_states, parents, batch, beam)
+                if use_lineage:
+                    # loop state is never reordered; compose the
+                    # ancestry instead: inherit the parent's lineage
+                    # for written positions, stay identity for future
+                    # ones (each slot writes its own row)
+                    inherited = jnp.take_along_axis(
+                        anc, parents[..., None], axis=1)
+                    pos = jnp.arange(cache_len)[None, None, :]
+                    anc = jnp.where(pos <= step, inherited, anc0)
+                # gather beam-indexed decoder state by parents
+                elif n_models > 1:
+                    new_model_states = jax.tree_util.tree_map(
+                        lambda x: jax.vmap(
+                            lambda arr: _gather_beams(
+                                arr, parents, batch, beam))(x),
+                        new_model_states)
+                else:
+                    new_model_states = _gather_beams(
+                        new_model_states, parents, batch, beam)
 
-            def gather_bk(arr):
-                return jnp.take_along_axis(arr, parents, axis=1)
+                def gather_bk(arr):
+                    return jnp.take_along_axis(arr, parents, axis=1)
 
-            old_finished = gather_bk(search.finished)
-            old_lengths = gather_bk(search.lengths)
-            old_tokens = jnp.take_along_axis(
-                search.token_ids, parents[..., None], axis=1)
+                old_finished = gather_bk(search.finished)
+                old_lengths = gather_bk(search.lengths)
+                old_tokens = jnp.take_along_axis(
+                    search.token_ids, parents[..., None], axis=1)
 
-            # defensive clamp: lane-aligned logits carry padding
-            # columns at bias -1e9 that can never win a selection,
-            # but an emitted id must always index the real vocabulary
-            tokens = jnp.minimum(tokens, vocab - 1)
-            emit = jnp.where(old_finished, PAD_TOKEN_INDEX, tokens)
-            new_token_ids = jax.lax.dynamic_update_slice_in_dim(
-                old_tokens, emit[..., None], step, axis=2)
+                # defensive clamp: lane-aligned logits carry padding
+                # columns at bias -1e9 that can never win a selection,
+                # but an emitted id must always index the real
+                # vocabulary
+                tokens = jnp.minimum(tokens, vocab - 1)
+                emit = jnp.where(old_finished, PAD_TOKEN_INDEX, tokens)
+                new_token_ids = jax.lax.dynamic_update_slice_in_dim(
+                    old_tokens, emit[..., None], step, axis=2)
 
-            # summed logprob of the selected continuation (finished
-            # parents continue with PAD at zero cost, so their sum
-            # stays fixed)
-            new_finished = old_finished | (emit == END_TOKEN_INDEX)
-            new_len = old_lengths + (~old_finished).astype(jnp.int32)
+                # summed logprob of the selected continuation
+                # (finished parents continue with PAD at zero cost, so
+                # their sum stays fixed)
+                new_finished = old_finished | (emit == END_TOKEN_INDEX)
+                new_len = old_lengths + (~old_finished).astype(
+                    jnp.int32)
 
-            new_search = SearchState(
-                logprob_sum=new_logprob,
-                lengths=new_len,
-                finished=new_finished,
-                token_ids=new_token_ids)
-            return (step + 1, new_model_states, emit.reshape(-1),
-                    new_search, top_scores, anc)
+                new_search = SearchState(
+                    logprob_sum=new_logprob,
+                    lengths=new_len,
+                    finished=new_finished,
+                    token_ids=new_token_ids)
+                return (step + 1, new_model_states, emit.reshape(-1),
+                        new_search, top_scores, anc)
+            return body
 
         init_scores = jnp.zeros((batch, beam))
         carry = (jnp.asarray(0, jnp.int32), stacked_states, prev_ids0,
                  search0, init_scores, anc0)
-        _, _, _, search, _, _ = jax.lax.while_loop(cond, body, carry)
+        # Lineage decoders read position-indexed caches only up to a
+        # STATIC window; running the search as a few segmented
+        # while_loops with growing windows cuts early-step cache
+        # traffic (~1/3 on average at three segments) at the price of
+        # compiling the step body per segment. Exact: positions beyond
+        # the window are invalid at every step the segment runs.
+        if use_lineage and max_steps >= 8:
+            bounds = sorted({-(-max_steps // 4) , -(-max_steps // 2),
+                             max_steps})
+        else:
+            bounds = [max_steps]
+        for bound in bounds:
+            carry = jax.lax.while_loop(
+                make_cond(bound), make_body(bound), carry)
+        _, _, _, search, _, _ = carry
 
         final_scores = search.logprob_sum / length_penalty(
             search.lengths, self.length_normalization)

@@ -342,13 +342,17 @@ class Decoder(AutoregressiveDecoder):
 
     def decode_step_lineage(self, constants: Any, loop_state: Any,
                             prev_ids: jnp.ndarray, step: Any,
-                            anc: jnp.ndarray, beam: int):
+                            anc: jnp.ndarray, beam: int,
+                            window: int = None):
         """The recurrent state is gathered HERE by the previous
         selection's parents — ``anc[:, :, step-1]`` is exactly that
         slot (identity at step 0, where dynamic indexing clamps) —
         instead of by the search after the step; semantically the same
         reorder, one step later. Attention constants stay shared
-        across the beam (see ``_attend_all``)."""
+        across the beam (see ``_attend_all``). ``window`` is a
+        cache-read bound; the RNN has no position-indexed cache, so
+        it is unused here."""
+        del window
         state, att_states = loop_state
         rows = prev_ids.shape[0]
         batch = rows // beam

@@ -303,7 +303,8 @@ class TransformerDecoder(AutoregressiveDecoder):
 
     def decode_step_lineage(self, constants: Any, loop_state: Any,
                             prev_ids: jnp.ndarray, step: Any,
-                            anc: jnp.ndarray, beam: int):
+                            anc: jnp.ndarray, beam: int,
+                            window: int = None):
         """Beam-search step with ancestry-resolved self-attention.
 
         The physical beam reorder gathers + rewrites every layer's KV
@@ -325,6 +326,10 @@ class TransformerDecoder(AutoregressiveDecoder):
         rows = prev_ids.shape[0]
         batch = rows // beam
         length = self.max_output_len
+        # static read window: positions >= window are known-invalid,
+        # so attention reads only the cache prefix (the search grows
+        # the window across segmented loops)
+        win = length if window is None else min(window, length)
 
         x = jnp.take(table, prev_ids, axis=0)
         x = x * jnp.sqrt(jnp.asarray(self.model_dim, x.dtype))
@@ -332,14 +337,14 @@ class TransformerDecoder(AutoregressiveDecoder):
             length, self.model_dim, x.dtype)[step]
         x = x[:, None, :]  # (B*K, 1, D)
 
-        positions = jnp.arange(length)
-        # (1, 1, 1, T): positions beyond `step` masked for every head
+        positions = jnp.arange(win)
+        # (1, 1, 1, W): positions beyond `step` masked for every head
         cache_bias = jnp.where(positions <= step, 0.0,
                                NEG_INF)[None, None, None, :]
-        # one-hot lineage mask (B, K, J, T), shared by all layers;
+        # one-hot lineage mask (B, K, J, W), shared by all layers;
         # future positions hold the identity slot (the search resets
         # them after every selection), so they are exact too
-        lineage = (anc[:, :, None, :]
+        lineage = (anc[:, :, None, :win]
                    == jnp.arange(beam, dtype=anc.dtype)[
                        None, None, :, None]).astype(jnp.float32)
 
@@ -364,8 +369,10 @@ class TransformerDecoder(AutoregressiveDecoder):
             new_caches.append({"k": k_cache, "v": v_cache})
 
             qh = q.reshape(batch, beam, heads, head_dim)
-            kh = k_cache.reshape(batch, beam, length, heads, head_dim)
-            vh = v_cache.reshape(batch, beam, length, heads, head_dim)
+            kh = k_cache[:, :win].reshape(
+                batch, beam, win, heads, head_dim)
+            vh = v_cache[:, :win].reshape(
+                batch, beam, win, heads, head_dim)
             # scores vs every slot j, then lineage-reduce over j
             s_full = jnp.einsum(
                 "bkhd,bjthd->bhkjt", qh.astype(kh.dtype), kh,
