@@ -346,19 +346,32 @@ class TPUManager:
             self._fetch_fns[key] = jax.jit(fetch_fn)
         return self._fetch_fns[key]
 
-    def run_on_batch(self, runners, dataset_batch, batch_size: int
-                     ) -> List[ExecutionResult]:
+    def _dispatch_batch(self, runners, dataset_batch, batch_size: int):
+        """Build the batch and launch every runner's jitted fetch —
+        returns device futures without forcing a transfer, so host
+        post-processing of the previous batch can overlap device
+        compute (see execute)."""
         batch, real_size = self.build_batch(
             dataset_batch, batch_size, train=False)
+        dispatched = [self._get_fetch_fn(r)(self.params_list, batch)
+                      for r in runners]
+        return dispatched, real_size
+
+    def _collect_batch(self, runners, dispatched, real_size
+                       ) -> List[ExecutionResult]:
         results = []
-        for runner in runners:
-            fetch_fn = self._get_fetch_fn(runner)
-            fetched = fetch_fn(self.params_list, batch)
+        for runner, fetched in zip(runners, dispatched):
             # multi-process: decode outputs are data-sharded across
             # hosts; allgather so every process sees the full series
             fetched = fetch_to_host(fetched)
             results.append(runner.collect_results(fetched, real_size))
         return results
+
+    def run_on_batch(self, runners, dataset_batch, batch_size: int
+                     ) -> List[ExecutionResult]:
+        dispatched, real_size = self._dispatch_batch(
+            runners, dataset_batch, batch_size)
+        return self._collect_batch(runners, dispatched, real_size)
 
     def execute(self, dataset, execution_scripts,
                 batch_size: int,
@@ -369,6 +382,7 @@ class TPUManager:
         scheme = batching_scheme or BatchingScheme(batch_size=batch_size)
         per_script: List[List[ExecutionResult]] = [
             [] for _ in execution_scripts]
+        pending = None  # one-batch-deep inference pipeline
         # inference iterates in dataset order (outputs must align with
         # reference series); training shuffles
         for batch in dataset.batches(scheme, shuffled=bool(train)):
@@ -379,10 +393,21 @@ class TPUManager:
                     per_script[i].append(ExecutionResult(
                         outputs=[], losses=losses, size=len(batch)))
             else:
-                results = self.run_on_batch(
+                # software pipeline: dispatch this batch, THEN
+                # transfer + post-process the previous one while the
+                # device works — ids→tokens/BPE-join run behind the
+                # decode instead of serializing with it
+                dispatched = self._dispatch_batch(
                     execution_scripts, batch, batch_size)
-                for i, result in enumerate(results):
-                    per_script[i].append(result)
+                if pending is not None:
+                    for i, result in enumerate(self._collect_batch(
+                            execution_scripts, *pending)):
+                        per_script[i].append(result)
+                pending = dispatched
+        if pending is not None:
+            for i, result in enumerate(self._collect_batch(
+                    execution_scripts, *pending)):
+                per_script[i].append(result)
         return [reduce_execution_results(results)
                 for results in per_script]
 
