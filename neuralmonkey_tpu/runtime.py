@@ -258,7 +258,11 @@ class TPUManager:
         if key not in self._train_fns:
             tx = trainer.make_optax()
 
-            def step_fn(params, opt_state, batch, rng):
+            def step_fn(params, opt_state, batch, rng, step):
+                # per-step rng derivation lives INSIDE the jit: an
+                # eager fold_in costs a host dispatch every step
+                # (~4 ms through the relay)
+                rng = jax.random.fold_in(rng, step)
                 def loss_fn(p):
                     return trainer.total_loss(p, batch, rng)
                 (total, losses), grads = jax.value_and_grad(
@@ -271,6 +275,13 @@ class TPUManager:
                 losses = dict(losses)
                 losses["loss"] = total
                 losses["grad_norm"] = grad_norm
+                # device-side token count: the training loop logs
+                # tokens/sec without an eager mask.sum() per step
+                mask_keys = [k for k in batch
+                             if k.endswith("train_mask")]
+                if mask_keys:
+                    losses["target_tokens"] = sum(
+                        batch[k].sum() for k in mask_keys)
                 return new_params, new_opt_state, losses
 
             self._train_fns[key] = jax.jit(
@@ -317,19 +328,31 @@ class TPUManager:
         return self.train_on_prepared(trainer, batch)
 
     def train_on_prepared(self, trainer,
-                          batch: Dict[str, Any]) -> Dict[str, float]:
-        """One training step on an already device-resident batch."""
+                          batch: Dict[str, Any],
+                          sync: bool = True) -> Dict[str, Any]:
+        """One training step on an already device-resident batch.
+
+        ``sync=True`` (reference-compatible) forces the losses to host
+        floats — a blocking device round-trip per step. The training
+        loop passes ``sync=False`` and converts the PREVIOUS step's
+        losses while the current one runs (one-step-deep pipeline):
+        the param update chain is async anyway, so the only thing a
+        per-step sync buys is stalling the host for the relay/transfer
+        latency."""
         from .trainers.multitask_trainer import MultitaskTrainer
         if isinstance(trainer, MultitaskTrainer):
             trainer = trainer.select(self.global_step)
         step_fn, key = self._get_train_fn(trainer)
-        step_rng = jax.random.fold_in(self._rng, self.global_step)
         new_params, new_opt_state, losses = step_fn(
-            self.params_list[0], self._opt_states[key], batch, step_rng)
+            self.params_list[0], self._opt_states[key], batch,
+            self._rng, jnp.asarray(self.global_step, jnp.int32))
         self.params_list[0] = new_params
         self._opt_states[key] = new_opt_state
         self.global_step += 1
-        return {name: float(value) for name, value in losses.items()}
+        if sync:
+            return {name: float(value)
+                    for name, value in losses.items()}
+        return losses
 
     # ------------------------------------------------------------------ #
     # inference
