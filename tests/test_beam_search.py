@@ -267,3 +267,43 @@ def test_rnn_lineage_ensemble_matches_physical(model):
     np.testing.assert_array_equal(
         np.asarray(outs["on"].token_ids),
         np.asarray(outs["off"].token_ids))
+
+
+def test_rnn_lineage_with_coverage_attention(model):
+    """Coverage attention is stateful (per-beam coverage vector) and
+    keeps TILED constants under lineage decoding; its state must ride
+    the in-step parent gather. Equivalence vs the physical path."""
+    from neuralmonkey_tpu.models.attention.feed_forward import \
+        CoverageAttention
+    from neuralmonkey_tpu.models.encoders.recurrent import \
+        SentenceEncoder
+    vs, vt = Vocabulary(), Vocabulary()
+    for s in SRC:
+        vs.add_tokenized_text(s)
+    for t in TGT:
+        vt.add_tokenized_text(t)
+    enc = SentenceEncoder(name="cenc", vocabulary=vs, data_id="source",
+                          embedding_size=8, rnn_size=6)
+    att = CoverageAttention(name="ccov", encoder=enc)
+    dec = Decoder(name="cdec", vocabulary=vt, data_id="target",
+                  max_output_len=6, rnn_size=7, encoders=[enc],
+                  attentions=[att], embedding_size=8)
+    ds = Dataset("toy", {"source": SRC, "target": TGT})
+    parts = collect_parts([dec])
+    params = init_all_params(parts, jax.random.PRNGKey(3))
+    batch = {}
+    for p in parts:
+        batch.update(p.featurize(ds))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    outs = {}
+    for mode in ("off", "on"):
+        bs = BeamSearchDecoder(
+            name=f"cov_{mode}", parent_decoder=dec, beam_size=3,
+            length_normalization=0.6, lineage=mode)
+        outs[mode] = bs.search(Context(params, batch, train=False))
+    np.testing.assert_allclose(
+        np.asarray(outs["on"].scores), np.asarray(outs["off"].scores),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(outs["on"].token_ids),
+        np.asarray(outs["off"].token_ids))
