@@ -307,3 +307,28 @@ def test_rnn_lineage_with_coverage_attention(model):
     np.testing.assert_array_equal(
         np.asarray(outs["on"].token_ids),
         np.asarray(outs["off"].token_ids))
+
+
+def test_lineage_default_resolution(model):
+    """Pin the lineage default: auto-on for supporting decoders (the
+    round-4 decode throughput rests on it), opt-out honored, and
+    'on' rejects decoders without support."""
+    import os
+    dec, params, batch = model
+    assert os.environ.get("NM_LINEAGE") in (None, ""), \
+        "test requires NM_LINEAGE unset"
+    bs = BeamSearchDecoder(name="pin1", parent_decoder=dec, beam_size=2)
+    assert bs._use_lineage() is True
+    off = BeamSearchDecoder(name="pin2", parent_decoder=dec,
+                            beam_size=2, lineage="off")
+    assert off._use_lineage() is False
+
+    class _NoLineage:
+        lineage_decode = False
+        max_output_len = 4
+        vocabulary = dec.vocabulary
+    forced = BeamSearchDecoder(name="pin3",
+                               parent_decoder=_NoLineage(),
+                               beam_size=2, lineage="on")
+    with pytest.raises(ValueError):
+        forced._use_lineage()
