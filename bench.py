@@ -30,7 +30,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", 64))
 SRC_LEN = int(os.environ.get("BENCH_SRC_LEN", 32))
 BEAM = int(os.environ.get("BENCH_BEAM", 10))
 MAX_OUT = int(os.environ.get("BENCH_MAX_OUT", 48))
-TPU_REPEATS = int(os.environ.get("BENCH_REPEATS", 5))
+TPU_REPEATS = int(os.environ.get("BENCH_REPEATS", 12))
 CPU_BATCH = int(os.environ.get("BENCH_CPU_BATCH", 8))
 
 
