@@ -228,6 +228,19 @@ def training_loop(tf_manager,
     last_val_time = time.time()
     interrupted = False
 
+    from .parallel.distributed import broadcast_flags, process_count
+    # Wall-clock periods are per-process; under multi-host execution the
+    # processes would disagree on should_val and a subset would enter
+    # validation's collectives (allgather/barrier) — deadlock. Process
+    # 0's decision is broadcast each step instead (one tiny collective;
+    # step-based periods stay collective-free because step counts are
+    # already identical everywhere).
+    sync_periods = process_count() > 1 and bool(log_seconds or val_seconds)
+    if sync_periods:
+        warn("Time-based logging/validation periods under multi-process "
+             "execution broadcast process 0's decision every step; "
+             "prefer step-count periods")
+
     log(f"Starting training: {epochs} epochs, main metric: "
         f"{main_metric or 'loss'}")
 
@@ -264,11 +277,37 @@ def training_loop(tf_manager,
         # reference semantics: run a validation pass before training
         validate(0, 0)
 
-    try:
-        step_losses: List[Dict[str, Any]] = []
+    step_losses: List[Dict[str, Any]] = []
+    window_start = time.time()
+    window_examples = 0
+    window_tokens = 0
+
+    def flush_log_window(epoch: int, step: int) -> None:
+        """Sync the accumulated device-scalar losses (one stacked
+        transfer) and emit one train metrics record. Also called after
+        loop exit/interrupt so the final partial window's losses and
+        tokens/sec are reported instead of dropped."""
+        nonlocal step_losses, window_start, window_examples, window_tokens
+        if not step_losses:
+            return
+        synced = _sync_losses(step_losses)
+        window_tokens += sum(
+            l.pop("target_tokens", 0.0) for l in synced)
+        mean_losses = {
+            key: float(np.mean([l[key] for l in synced if key in l]))
+            for key in synced[-1]}
+        elapsed = max(time.time() - window_start, 1e-6)
+        mean_losses["examples_per_sec"] = window_examples / elapsed
+        mean_losses["tokens_per_sec"] = float(window_tokens) / elapsed
+        log(f"Epoch {epoch} step {step}: "
+            f"{_format_eval(mean_losses)}")
+        metrics.write("train", step, mean_losses)
+        step_losses = []
         window_start = time.time()
         window_examples = 0
         window_tokens = 0
+
+    try:
         for epoch in range(1, epochs + 1):
             tf_manager.epoch = epoch
             log_print("")
@@ -291,43 +330,32 @@ def training_loop(tf_manager,
                 step = tf_manager.global_step
                 window_examples += real_size
 
-                should_log = (
+                should_log = bool(
                     (log_steps and step % log_steps == 0)
                     or (log_seconds
                         and time.time() - last_log_time > log_seconds))
-                if should_log:
-                    step_losses = _sync_losses(step_losses)
-                    window_tokens += sum(
-                        l.pop("target_tokens", 0.0)
-                        for l in step_losses)
-                    mean_losses = {
-                        key: float(np.mean([l[key] for l in step_losses
-                                            if key in l]))
-                        for key in step_losses[-1]}
-                    elapsed = max(time.time() - window_start, 1e-6)
-                    mean_losses["examples_per_sec"] = (
-                        window_examples / elapsed)
-                    mean_losses["tokens_per_sec"] = (
-                        float(window_tokens) / elapsed)
-                    log(f"Epoch {epoch} step {step}: "
-                        f"{_format_eval(mean_losses)}")
-                    metrics.write("train", step, mean_losses)
-                    step_losses = []
-                    last_log_time = time.time()
-                    window_start = time.time()
-                    window_examples = 0
-                    window_tokens = 0
-
-                should_val = (
+                should_val = bool(
                     (val_steps and step % val_steps == 0)
                     or (val_seconds
                         and time.time() - last_val_time > val_seconds))
+                if sync_periods:
+                    should_log, should_val = broadcast_flags(
+                        (should_log, should_val))
+
+                if should_log:
+                    flush_log_window(epoch, step)
+                    last_log_time = time.time()
+
                 if should_val and val_datasets:
                     validate(step, epoch)
                     last_val_time = time.time()
     except KeyboardInterrupt:
         interrupted = True
         warn("Training interrupted by user — saving variables")
+
+    # report the final partial logging window (otherwise its losses and
+    # token counts would be silently dropped)
+    flush_log_window(tf_manager.epoch, tf_manager.global_step)
 
     # final validation + save
     if val_datasets and not interrupted:

@@ -91,8 +91,13 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray,
         keep = jax.random.bernoulli(dropout_rng, dropout_keep_prob,
                                     weights.shape)
         weights = jnp.where(keep, weights / dropout_keep_prob, 0.0)
-    return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
-                      preferred_element_type=jnp.float32)
+    # accumulate the context in f32 on the MXU, but hand back the value
+    # dtype: under the bf16 compute policy an unconditional f32 return
+    # would silently upcast every downstream activation/residual
+    # (ADVICE round 1) — the f32 widening stays inside this function
+    context = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+    return context.astype(v.dtype)
 
 
 def attention_bias_from_mask(mask: jnp.ndarray) -> jnp.ndarray:

@@ -116,6 +116,26 @@ def sync_processes(name: str = "nm_sync") -> None:
     multihost_utils.sync_global_devices(name)
 
 
+def broadcast_flags(flags) -> tuple:
+    """Make process 0's boolean decisions authoritative on every process.
+
+    Multi-host hazard (ADVICE round 1): wall-clock-derived decisions
+    (``val_seconds``/``log_seconds``) can differ between processes, and
+    validation reaches collectives (``process_allgather`` in
+    ``fetch_to_host``, ``sync_processes`` around checkpoint writes) — a
+    subset of processes entering them deadlocks the slice. This
+    broadcasts process 0's (should_log, should_val, ...) tuple so every
+    process takes the same branch. Single-process: returns ``flags``
+    unchanged, no device work.
+    """
+    if process_count() == 1:
+        return tuple(bool(f) for f in flags)
+    from jax.experimental import multihost_utils
+    values = np.asarray([bool(f) for f in flags], dtype=np.int32)
+    synced = np.asarray(multihost_utils.broadcast_one_to_all(values))
+    return tuple(bool(v) for v in synced)
+
+
 def make_global_array(value: Any, sharding) -> Any:
     """Place a host-global value on the mesh as a global jax.Array.
 
