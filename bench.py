@@ -32,6 +32,11 @@ BEAM = int(os.environ.get("BENCH_BEAM", 10))
 MAX_OUT = int(os.environ.get("BENCH_MAX_OUT", 48))
 TPU_REPEATS = int(os.environ.get("BENCH_REPEATS", 12))
 CPU_BATCH = int(os.environ.get("BENCH_CPU_BATCH", 8))
+# transformer shape (production default; overridable for smoke tests)
+T_DIM = int(os.environ.get("BENCH_T_DIM", 512))
+T_FF = int(os.environ.get("BENCH_T_FF", 2048))
+T_DEPTH = int(os.environ.get("BENCH_T_DEPTH", 6))
+T_HEADS = int(os.environ.get("BENCH_T_HEADS", 8))
 
 
 def build(batch_size: int):
@@ -62,8 +67,18 @@ def build(batch_size: int):
         def decode_step(self, constants, loop_state, prev_ids, step):
             new_state, logits, aux = super().decode_step(
                 constants, loop_state, prev_ids, step)
-            import jax.numpy as jnp
             logits = logits.at[..., 2].set(-1e9)  # END_TOKEN_INDEX
+            return new_state, logits, aux
+
+        def decode_step_lineage(self, constants, loop_state, prev_ids,
+                                step, anc, beam, window=None):
+            # the (default) lineage path does NOT route through
+            # decode_step — mask EOS here too or tiny-vocab runs
+            # finish early and overstate throughput
+            new_state, logits, aux = super().decode_step_lineage(
+                constants, loop_state, prev_ids, step, anc, beam,
+                window=window)
+            logits = logits.at[..., 2].set(-1e9)
             return new_state, logits, aux
 
     enc = SentenceEncoder(name="encoder", vocabulary=vs,
@@ -285,13 +300,32 @@ def build_transformer(batch_size: int):
         v.index_to_word = v.index_to_word + [
             f"w{i}" for i in range(VOCAB - 4)]
         v.word_to_index = {t: i for i, t in enumerate(v.index_to_word)}
+    class FullLengthTransformerDecoder(TransformerDecoder):
+        """Bench-only: forbid </s> on both decode paths so every
+        sentence runs the full MAX_OUT steps (see FullLengthDecoder)."""
+
+        def decode_step(self, constants, loop_state, prev_ids, step):
+            new_state, logits, aux = super().decode_step(
+                constants, loop_state, prev_ids, step)
+            logits = logits.at[..., 2].set(-1e9)  # END_TOKEN_INDEX
+            return new_state, logits, aux
+
+        def decode_step_lineage(self, constants, loop_state, prev_ids,
+                                step, anc, beam, window=None):
+            new_state, logits, aux = super().decode_step_lineage(
+                constants, loop_state, prev_ids, step, anc, beam,
+                window=window)
+            logits = logits.at[..., 2].set(-1e9)
+            return new_state, logits, aux
+
     enc = TransformerEncoder(
         name="tenc", vocabulary=vs, data_id="source",
-        embedding_size=512, ff_hidden_size=2048, depth=6, n_heads=8)
-    dec = TransformerDecoder(
+        embedding_size=T_DIM, ff_hidden_size=T_FF, depth=T_DEPTH,
+        n_heads=T_HEADS)
+    dec = FullLengthTransformerDecoder(
         name="tdec", vocabulary=vt, data_id="target",
-        encoders=[enc], embedding_size=512, ff_hidden_size=2048,
-        depth=6, n_heads_self=8, n_heads_enc=8,
+        encoders=[enc], embedding_size=T_DIM, ff_hidden_size=T_FF,
+        depth=T_DEPTH, n_heads_self=T_HEADS, n_heads_enc=T_HEADS,
         max_output_len=MAX_OUT, label_smoothing=0.1)
     bs = BeamSearchDecoder(name="tbs", parent_decoder=dec,
                            beam_size=BEAM, length_normalization=0.6)
@@ -387,10 +421,44 @@ def transformer_decode_throughput() -> float:
     return total / (time.perf_counter() - start)
 
 
+def lineage_flip_rate(model: str = "rnn") -> float:
+    """Fraction of rank-0 hypotheses that differ between lineage and
+    physical beam decoding on one batch (VERDICT r1 item 9: the ~6e-4
+    TPU logit reassociation noise can flip near-tie hypotheses; this
+    measures how often, at production shapes, on the real backend)."""
+    import jax
+    from neuralmonkey_tpu.models.decoders.beam_search_decoder import \
+        BeamSearchDecoder
+    if model == "transformer":
+        enc, dec, _, params, batch, Context = build_transformer(BATCH)
+    else:
+        enc, dec, _, params, batch, Context = build(BATCH)
+    rates = {}
+    for mode in ("on", "off"):
+        bs = BeamSearchDecoder(name=f"fl_{mode}", parent_decoder=dec,
+                               beam_size=BEAM, length_normalization=0.6,
+                               lineage=mode)
+        ids = jax.jit(
+            lambda p, b, bs=bs:
+            bs.search(Context(p, b, train=False)).token_ids
+        )(params, batch)
+        rates[mode] = np.asarray(ids)[:, 0, :]
+    flips = np.any(rates["on"] != rates["off"], axis=-1)
+    return float(np.mean(flips))
+
+
 def main() -> None:
     if "--cpu-baseline" in sys.argv:
         print(json.dumps({"cpu_sentences_per_sec":
                           cpu_reference_throughput()}))
+        return
+
+    if "--flip" in sys.argv:
+        for model in ("rnn", "transformer"):
+            print(json.dumps({
+                "metric": f"{model}_lineage_flip_rate",
+                "value": lineage_flip_rate(model),
+                "unit": "fraction of sentences"}))
         return
 
     if "--train" in sys.argv:
@@ -450,12 +518,45 @@ def main() -> None:
 
     verify_kernels_on_device()
     tpu_rate = tpu_throughput()
-    print(json.dumps({
+
+    # secondary headline metrics (VERDICT r1 item 4: one bench run
+    # must regression-guard all four paths, not just RNN decode).
+    # They ride inside the flagship JSON line's "extra" field so the
+    # driver-parsed line stays exactly the documented contract.
+    extra = {}
+
+    def _try(label, fn):
+        try:
+            extra[label] = fn()
+            print(f"bench extra: {label} = {extra[label]}",
+                  file=sys.stderr)
+        except Exception as exc:  # one failing aux metric must not
+            extra[label] = None   # kill the flagship measurement
+            print(f"bench extra: {label} FAILED: {exc}",
+                  file=sys.stderr)
+
+    if "--flagship-only" not in sys.argv:
+        _try("transformer_beam10_sentences_per_sec",
+             lambda: round(transformer_decode_throughput(), 2))
+        _try("rnn_train_tokens_per_sec",
+             lambda: round(train_throughput("rnn")["tokens_per_sec"], 1))
+        _try("transformer_train_tokens_per_sec",
+             lambda: round(train_throughput("transformer")
+                           ["tokens_per_sec"], 1))
+        _try("rnn_lineage_flip_rate",
+             lambda: round(lineage_flip_rate("rnn"), 5))
+        _try("transformer_lineage_flip_rate",
+             lambda: round(lineage_flip_rate("transformer"), 5))
+
+    line = {
         "metric": "beam10_decoded_sentences_per_sec_per_chip",
         "value": round(tpu_rate, 2),
         "unit": "sentences/sec/chip",
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
-    }))
+    }
+    if extra:
+        line["extra"] = extra
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
