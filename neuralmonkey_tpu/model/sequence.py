@@ -69,6 +69,10 @@ class EmbeddedSequence(ModelPart, TemporalStateful):
     def mask_key(self) -> str:
         return f"{self.name}.mask"
 
+    def param_partition_specs(self) -> Dict[str, tuple]:
+        # (V, E) table shards its vocab rows over the model axis
+        return {"embeddings": ("model", None)}
+
     def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         if self.embeddings_init is not None:
             table = jnp.asarray(self.embeddings_init, jnp.float32)
@@ -154,6 +158,10 @@ class EmbeddedFactorSequence(ModelPart, TemporalStateful):
     @property
     def mask_key(self) -> str:
         return f"{self.name}.mask"
+
+    def param_partition_specs(self) -> Dict[str, tuple]:
+        return {f"embeddings_{i}": ("model", None)
+                for i in range(len(self.vocabularies))}
 
     def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         tables = {}

@@ -129,6 +129,14 @@ class AutoregressiveDecoder(ModelPart):
         """(B, T, V) teacher-forced logits."""
         raise NotImplementedError
 
+    def param_partition_specs(self) -> Dict[str, tuple]:
+        # vocab-sized output projection shards its columns over the
+        # model axis (tied-embedding layouts have no "logit" subtree —
+        # the embedding table's own declaration covers them)
+        return {"logit/w": (None, "model"),
+                "logit/b": ("model",),
+                "logit_bias": ("model",)}
+
     def decode_constants(self, ctx: Context):
         raise NotImplementedError
 
@@ -138,6 +146,11 @@ class AutoregressiveDecoder(ModelPart):
     def decode_step(self, constants: Any, loop_state: Any,
                     prev_ids: jnp.ndarray, step: Any):
         raise NotImplementedError
+
+    # True when decode_step's aux carries "attention_weights" (beam
+    # search records per-step histories for attention visualization
+    # only when the parent declares it)
+    emits_attention = False
 
     # Decoders whose per-beam loop state is dominated by position-
     # indexed caches (transformer KV) may support *lineage decoding*:

@@ -45,6 +45,9 @@ class SequenceLabeler(ModelPart):
     def mask_key(self) -> str:
         return f"{self.name}.labels_mask"
 
+    def param_partition_specs(self) -> Dict[str, tuple]:
+        return {"logit/w": (None, "model"), "logit/b": ("model",)}
+
     def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         params: Dict = {}
         dim = self.encoder.state_dim

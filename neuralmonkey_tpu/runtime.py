@@ -123,31 +123,57 @@ class TPUManager:
     def params(self):
         return self.params_list[0]
 
+    def _declared_partition_specs(self) -> Dict[str, tuple]:
+        """Collect every part's declarative model-axis specs, keyed by
+        full param path (``<param_key>/<relative path>``)."""
+        declared: Dict[str, tuple] = {}
+        for part in self.parts:
+            for rel, axes in (part.param_partition_specs() or {}).items():
+                declared[f"{part.param_key}/{rel}"] = tuple(axes)
+        return declared
+
     def _param_shardings(self, params):
-        """Per-parameter shardings: vocab-sized tables/logit matrices
-        shard over the 'model' axis when it exists; everything else
-        replicates."""
+        """Per-parameter shardings from the parts' declarative
+        ``param_partition_specs`` (VERDICT r1: the old name-matching
+        heuristic silently de-sharded renamed parts). Declared paths
+        that exist but cannot shard (wrong rank / non-divisible dim)
+        replicate WITH a warning; a mesh with a model axis but zero
+        effectively-sharded params also warns."""
         if self.num_model_shards <= 1:
             return self.replicated
         P = jax.sharding.PartitionSpec
+        declared = self._declared_partition_specs()
+        applied = {"n": 0}
 
         def spec_for(path, leaf):
             names = [getattr(e, "key", getattr(e, "idx", ""))
                      for e in path]
             joined = "/".join(str(n) for n in names)
-            if leaf.ndim == 2 and leaf.shape[0] % \
-                    self.num_model_shards == 0 \
-                    and "embeddings" in joined:
-                return P("model", None)  # (V, E) over vocab
-            if leaf.ndim == 2 and joined.endswith("logit/w") \
-                    and leaf.shape[1] % self.num_model_shards == 0:
-                return P(None, "model")  # (proj, V) over vocab
-            return P()
+            axes = declared.get(joined)
+            if axes is None:
+                return P()
+            if len(axes) != leaf.ndim:
+                warn(f"Param '{joined}' declares partition {axes} but "
+                     f"has rank {leaf.ndim}; replicating")
+                return P()
+            for dim, axis in zip(leaf.shape, axes):
+                if axis == "model" and dim % self.num_model_shards:
+                    warn(f"Param '{joined}' dim {dim} not divisible by "
+                         f"num_model_shards={self.num_model_shards}; "
+                         "replicating")
+                    return P()
+            applied["n"] += 1
+            return P(*axes)
 
-        return jax.tree_util.tree_map_with_path(
+        shardings = jax.tree_util.tree_map_with_path(
             lambda path, leaf: jax.sharding.NamedSharding(
                 self.mesh, spec_for(path, leaf)),
             params)
+        if not applied["n"]:
+            warn(f"num_model_shards={self.num_model_shards} but no "
+                 "parameter declares a model-axis partition "
+                 "(param_partition_specs); everything replicates")
+        return shardings
 
     def _place_params(self, params):
         shardings = self._param_shardings(params)

@@ -138,6 +138,61 @@ def test_model_axis_sharding(setup):
     assert results[1] == pytest.approx(results[2], rel=1e-5)
 
 
+def test_model_axis_sharding_transformer_declarative():
+    """Model-axis sharding is DECLARED by parts (param_partition_specs),
+    not name-matched: a transformer with arbitrary part names still
+    shards its embedding tables / logit matrix, and the addressable
+    shard shapes are the global shapes divided over the model axis."""
+    from neuralmonkey_tpu.models.decoders.transformer import \
+        TransformerDecoder
+    from neuralmonkey_tpu.models.encoders.transformer import \
+        TransformerEncoder
+    from neuralmonkey_tpu.runtime import TPUManager
+    vs, vt = Vocabulary(), Vocabulary()
+    for v in (vs, vt):
+        for i in range(28):  # 28 + 4 specials = 32, divides 2 shards
+            v.add_word(f"w{i}")
+    enc = TransformerEncoder(
+        name="oddly_named_src", vocabulary=vs, data_id="source",
+        embedding_size=16, ff_hidden_size=32, depth=1, n_heads=2)
+    dec = TransformerDecoder(
+        name="oddly_named_tgt", vocabulary=vt, data_id="target",
+        encoders=[enc], embedding_size=16, ff_hidden_size=32, depth=1,
+        n_heads_self=2, n_heads_enc=2, max_output_len=6,
+        tie_embeddings=False)
+    trainer = CrossEntropyTrainer(
+        decoders=[dec], optimizer=AdamOptimizer(learning_rate=1e-3))
+    manager = TPUManager(num_model_shards=2, random_seed=0)
+    manager.initialize_model_parts([trainer], seed=0)
+
+    emb_keys = [
+        (key, sub) for key, tree in manager.params.items()
+        if isinstance(tree, dict)
+        for sub in tree if str(sub).startswith("embeddings")]
+    assert emb_keys, "no embedding tables found"
+    for key, sub in emb_keys:
+        table = manager.params[key][sub]
+        assert not table.sharding.is_fully_replicated, (key, sub)
+        shard_shape = table.sharding.shard_shape(table.shape)
+        assert shard_shape == (table.shape[0] // 2, table.shape[1])
+
+    logit_w = manager.params[dec.param_key]["logit"]["w"]
+    assert not logit_w.sharding.is_fully_replicated
+    assert logit_w.sharding.shard_shape(logit_w.shape) == \
+        (logit_w.shape[0], logit_w.shape[1] // 2)
+
+    ds = Dataset("toy", {
+        "source": [["w1", "w2", "w3"]] * 16,
+        "target": [["w1", "w2"]] * 16,
+    })
+    loss_sharded = manager.train_on_batch(trainer, ds,
+                                          batch_size=16)["loss"]
+    ref = TPUManager(num_model_shards=1, random_seed=0)
+    ref.initialize_model_parts([trainer], seed=0)
+    loss_repl = ref.train_on_batch(trainer, ds, batch_size=16)["loss"]
+    assert loss_sharded == pytest.approx(loss_repl, rel=1e-5)
+
+
 def test_ensemble_greedy_matches_single(setup):
     """Ensembling two identical param sets must reproduce the single
     model's greedy decode (runner dispatch path)."""
