@@ -61,6 +61,11 @@ class BeamSearchOutput(NamedTuple):
     token_ids: jnp.ndarray     # (B, K, L) sorted best-first
     lengths: jnp.ndarray       # (B, K)
     scores: jnp.ndarray        # (B, K) length-normalized
+    # (B, K, L, T_src) per-step attention of each final hypothesis,
+    # present only when search(..., with_attention=True) and the parent
+    # emits attention weights (reference: runner-agnostic attention
+    # histories, nm/attention/base_attention.py)
+    attention: Optional[jnp.ndarray] = None
 
 
 def length_penalty(lengths, alpha: float):
@@ -160,14 +165,16 @@ class BeamSearchDecoder(ModelPart):
         return {}  # wraps the parent's parameters
 
     # ------------------------------------------------------------------ #
-    def search(self, ctx: Context) -> BeamSearchOutput:
+    def search(self, ctx: Context,
+               with_attention: bool = False) -> BeamSearchOutput:
         """Single-model beam search."""
         parent = self.parent_decoder
         constants = parent.decode_constants(ctx)
         init_state = parent.decode_initial_state(ctx, constants)
         batch = parent._batch_size(ctx)
         return self._search_impl(
-            [constants], [init_state], batch)
+            [constants], [init_state], batch,
+            with_attention=with_attention)
 
     def ensemble_search(self, contexts: List[Context]) -> BeamSearchOutput:
         """Beam search averaging E models' distributions."""
@@ -321,8 +328,8 @@ class BeamSearchDecoder(ModelPart):
         return parents, tokens, new_logprob, top_scores
 
     # ------------------------------------------------------------------ #
-    def _search_impl(self, constants_list, init_states, batch: int
-                     ) -> BeamSearchOutput:
+    def _search_impl(self, constants_list, init_states, batch: int,
+                     with_attention: bool = False) -> BeamSearchOutput:
         parent = self.parent_decoder
         beam = self.beam_size
         # selectors size themselves from the logits' trailing dim (a
@@ -388,16 +395,20 @@ class BeamSearchDecoder(ModelPart):
             return parent.decode_step(c, s, prev_ids, step)
 
         def model_scores(model_states, prev_ids, step, anc, window):
-            """Per-beam next-token scores. Returns raw logits for a
-            single model (selection only needs a per-beam monotone
-            score; full normalization happens lazily inside the
-            selector) or ensemble-averaged log-probs (already
-            normalized: their logsumexp is exactly 0)."""
+            """Per-beam next-token scores (+ attention weights when the
+            parent emits them). Returns raw logits for a single model
+            (selection only needs a per-beam monotone score; full
+            normalization happens lazily inside the selector) or
+            ensemble-averaged log-probs (already normalized: their
+            logsumexp is exactly 0)."""
             if n_models == 1:
-                new_states, logits, _ = step_fn(
+                new_states, logits, aux = step_fn(
                     stacked_constants, model_states, prev_ids, step,
                     anc, window)
-                return new_states, logits, False
+                weights = (aux.get("attention_weights", ())
+                           if isinstance(aux, dict) else ())
+                return (new_states, logits, False,
+                        weights[0] if weights else None)
             def one(c, s):
                 new_s, logits, _ = step_fn(c, s, prev_ids, step, anc,
                                            window)
@@ -406,7 +417,7 @@ class BeamSearchDecoder(ModelPart):
                 stacked_constants, model_states)
             # arithmetic mean of probabilities, numerically stable
             avg = jax.nn.logsumexp(logprobs, axis=0) - jnp.log(n_models)
-            return new_states, avg, True
+            return new_states, avg, True, None
 
         select_fn = (self._select_hier if method == "hierarchical"
                      else self._select_flat)
@@ -417,20 +428,78 @@ class BeamSearchDecoder(ModelPart):
             jnp.arange(beam, dtype=jnp.int32)[None, :, None],
             (batch, beam, cache_len))
 
+        # Lineage decoders read position-indexed caches only up to a
+        # STATIC window; running the search as a few segmented
+        # while_loops with growing windows cuts early-step cache
+        # traffic (~1/3 on average at three segments) at the price of
+        # compiling the step body per segment. Exact: positions beyond
+        # the window are invalid at every step the segment runs.
+        if use_lineage and max_steps >= 8:
+            bounds = sorted({-(-max_steps // 4), -(-max_steps // 2),
+                             max_steps})
+        else:
+            bounds = [max_steps]
+
+        # attention histories (the reference's runner-agnostic
+        # attention visualization): per-step weights of the FIRST
+        # attention, carried in the loop and resolved to the final
+        # hypotheses after the search. Only for single-model searches
+        # whose parent emits weights (RNN decoder; the transformer's
+        # incremental step does not expose per-head weights).
+        record = bool(with_attention and n_models == 1
+                      and getattr(parent, "emits_attention", False))
+        if record:
+            shapes = jax.eval_shape(
+                lambda c, s, p, a: step_fn(
+                    c, s, p, jnp.asarray(0, jnp.int32), a, bounds[0]),
+                stacked_constants, stacked_states, prev_ids0, anc0)
+            aux_shapes = shapes[2]
+            w_shapes = (aux_shapes.get("attention_weights", ())
+                        if isinstance(aux_shapes, dict) else ())
+            if not w_shapes:
+                record = False
+        if record:
+            src_len = w_shapes[0].shape[-1]
+            hist0 = jnp.zeros((batch, beam, max_steps, src_len),
+                              jnp.float32)
+        else:
+            hist0 = jnp.zeros((0,), jnp.float32)
+
         def make_cond(bound):
             def cond(carry):
-                step, _, _, search, _, _ = carry
+                step, _, _, search, _, _, _ = carry
                 return jnp.logical_and(step < bound,
                                        ~jnp.all(search.finished))
             return cond
 
         def make_body(window):
             def body(carry):
-                step, model_states, prev_ids, search, _, anc = carry
-                new_model_states, x, normalized = model_scores(
+                (step, model_states, prev_ids, search, _, anc,
+                 hist) = carry
+                new_model_states, x, normalized, weights = model_scores(
                     model_states, prev_ids, step, anc, window)
                 parents, tokens, new_logprob, top_scores = select_fn(
                     x, normalized, search, batch)
+
+                if record:
+                    w = weights.reshape(batch, beam, -1).astype(
+                        hist.dtype)
+                    if use_lineage:
+                        # slot-indexed rows; the final ancestry matrix
+                        # names, per hypothesis and position, the slot
+                        # that wrote it (anc[b,k,step] == parents[b,k]
+                        # after this step's composition)
+                        hist = jax.lax.dynamic_update_slice_in_dim(
+                            hist, w[:, :, None, :], step, axis=2)
+                    else:
+                        # physical reorder: move histories with their
+                        # hypotheses, then append the parent's weights
+                        sel_w = jnp.take_along_axis(
+                            w, parents[..., None], axis=1)
+                        moved = jnp.take_along_axis(
+                            hist, parents[..., None, None], axis=1)
+                        hist = jax.lax.dynamic_update_slice_in_dim(
+                            moved, sel_w[:, :, None, :], step, axis=2)
 
                 if use_lineage:
                     # loop state is never reordered; compose the
@@ -482,34 +551,36 @@ class BeamSearchDecoder(ModelPart):
                     finished=new_finished,
                     token_ids=new_token_ids)
                 return (step + 1, new_model_states, emit.reshape(-1),
-                        new_search, top_scores, anc)
+                        new_search, top_scores, anc, hist)
             return body
 
         init_scores = jnp.zeros((batch, beam))
         carry = (jnp.asarray(0, jnp.int32), stacked_states, prev_ids0,
-                 search0, init_scores, anc0)
-        # Lineage decoders read position-indexed caches only up to a
-        # STATIC window; running the search as a few segmented
-        # while_loops with growing windows cuts early-step cache
-        # traffic (~1/3 on average at three segments) at the price of
-        # compiling the step body per segment. Exact: positions beyond
-        # the window are invalid at every step the segment runs.
-        if use_lineage and max_steps >= 8:
-            bounds = sorted({-(-max_steps // 4) , -(-max_steps // 2),
-                             max_steps})
-        else:
-            bounds = [max_steps]
+                 search0, init_scores, anc0, hist0)
         for bound in bounds:
             carry = jax.lax.while_loop(
                 make_cond(bound), make_body(bound), carry)
-        _, _, _, search, _, _ = carry
+        _, _, _, search, _, anc, hist = carry
 
         final_scores = search.logprob_sum / length_penalty(
             search.lengths, self.length_normalization)
         # sort beams best-first
         order = jnp.argsort(-final_scores, axis=1)
+        attention = None
+        if record:
+            if use_lineage:
+                # resolve slot-indexed rows through the ancestry:
+                # row t of hypothesis k lives in slot anc[b, k, t]
+                idx = jnp.broadcast_to(
+                    anc[:, :, :max_steps, None], hist.shape)
+                hist = jnp.take_along_axis(hist, idx, axis=1)
+            attention = jnp.take_along_axis(
+                hist,
+                jnp.broadcast_to(order[..., None, None], hist.shape),
+                axis=1)
         return BeamSearchOutput(
             token_ids=jnp.take_along_axis(
                 search.token_ids, order[..., None], axis=1),
             lengths=jnp.take_along_axis(search.lengths, order, axis=1),
-            scores=jnp.take_along_axis(final_scores, order, axis=1))
+            scores=jnp.take_along_axis(final_scores, order, axis=1),
+            attention=attention)

@@ -331,6 +331,7 @@ class Decoder(AutoregressiveDecoder):
     # of the RNN beam decode.
     # ------------------------------------------------------------------ #
     lineage_decode = True
+    emits_attention = True
 
     def tile_decode_constants_lineage(self, constants, k: int):
         tiled = dict(constants)

@@ -332,3 +332,62 @@ def test_lineage_default_resolution(model):
                                beam_size=2, lineage="on")
     with pytest.raises(ValueError):
         forced._use_lineage()
+
+
+def test_beam_attention_histories(model):
+    """with_attention=True records each final hypothesis's per-step
+    attention; identical between lineage and physical decoding, rows
+    are distributions over the source."""
+    dec, params, batch = model
+    outs = {}
+    for mode in ("off", "on"):
+        bs = BeamSearchDecoder(name=f"ah_{mode}", parent_decoder=dec,
+                               beam_size=3, length_normalization=0.6,
+                               lineage=mode)
+        out = jax.jit(
+            lambda p, b, bs=bs: bs.search(
+                Context(p, b, train=False), with_attention=True)
+        )(params, batch)
+        outs[mode] = jax.tree_util.tree_map(np.asarray, out)
+    src_len = batch["enc_input.ids"].shape[1]
+    for mode, out in outs.items():
+        att = out.attention
+        assert att.shape == (len(SRC), 3, dec.max_output_len, src_len)
+        for b in range(len(SRC)):
+            for k in range(3):
+                n = int(out.lengths[b, k])
+                if n:
+                    np.testing.assert_allclose(
+                        att[b, k, :n].sum(-1), np.ones(n), atol=1e-4,
+                        err_msg=f"{mode} b={b} k={k}")
+    np.testing.assert_array_equal(outs["on"].token_ids,
+                                  outs["off"].token_ids)
+    for b in range(len(SRC)):
+        for k in range(3):
+            n = int(outs["on"].lengths[b, k])
+            np.testing.assert_allclose(
+                outs["on"].attention[b, k, :n],
+                outs["off"].attention[b, k, :n], atol=1e-5)
+
+
+def test_beam_runner_attention_aux(model):
+    """BeamSearchRunner(visualize_attention=True) surfaces per-example
+    attention matrices in ExecutionResult.aux (attention-map parity
+    with the greedy runner)."""
+    dec, params, batch = model
+    bs = BeamSearchDecoder(name="bs_viz", parent_decoder=dec,
+                           beam_size=3, length_normalization=0.6)
+    runner = BeamSearchRunner(output_series="target", decoder=bs,
+                              visualize_attention=True)
+    fetched = jax.jit(
+        lambda p, b: runner.fetches(Context(p, b, train=False))
+    )(params, batch)
+    fetched = jax.tree_util.tree_map(np.asarray, fetched)
+    result = runner.collect_results(fetched, len(SRC))
+    assert result.aux is not None and "attention" in result.aux
+    maps = result.aux["attention"]
+    assert len(maps) == len(SRC)
+    for mat, length in zip(maps,
+                           np.asarray(fetched["lengths"])[:, 0]):
+        assert mat.shape[0] == int(length)
+        assert mat.shape[1] == batch["enc_input.ids"].shape[1]
