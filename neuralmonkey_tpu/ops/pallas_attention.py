@@ -32,7 +32,7 @@ NEG_INF = -1e9
 # ---------------------------------------------------------------------- #
 # flash attention (forward)
 # ---------------------------------------------------------------------- #
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
                   kv_len: int, block_kv: int, scale: float,
                   causal: bool):
     # blocks carry a leading (batch·head) dim of size 1
@@ -82,6 +82,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
     acc, row_max, row_sum = jax.lax.fori_loop(
         0, num_kv_blocks, body, (acc, row_max, row_sum))
     o_ref[0] = (acc / jnp.maximum(row_sum, 1e-20)).astype(o_ref.dtype)
+    # per-row logsumexp of the SCALED+masked scores, saved for the
+    # backward kernels: P = exp(s - lse) is the normalized softmax.
+    # (block_q, 1) column layout — the lse array keeps a trailing
+    # singleton dim so no in-kernel transpose is ever needed.
+    lse_ref[0] = row_max + jnp.log(jnp.maximum(row_sum, 1e-20))
 
 
 def _reference_flash(q, k, v, mask, causal: bool):
@@ -141,10 +146,12 @@ def _flash_attention_pallas(q, k, v, mask, causal: bool,
         _flash_kernel, kv_len=kv_pad_len, block_kv=block_kv,
         scale=scale, causal=causal)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((bh, q_pad_len, head_dim),
-                                       q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, q_pad_len, head_dim), q.dtype),
+            jax.ShapeDtypeStruct((bh, q_pad_len, 1), jnp.float32),
+        ),
         grid=(bh, q_pad_len // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, head_dim),
@@ -155,17 +162,225 @@ def _flash_attention_pallas(q, k, v, mask, causal: bool,
                          lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, 8, kv_pad_len), lambda b, i: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, head_dim),
-                               lambda b, i: (b, i, 0)),
+        out_specs=(
+            pl.BlockSpec((1, block_q, head_dim),
+                         lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+        ),
         interpret=pallas_interpret(),
     )(q_flat, k_flat, v_flat, mask_rep)
 
     out = out.reshape(batch, heads, q_pad_len, head_dim)
+    lse = lse.reshape(batch, heads, q_pad_len)
     if pad_q:
         out = out[:, :, :q_len]
+        lse = lse[:, :, :q_len]
     if pad_head:
         out = out[..., :orig_head_dim]
-    return out
+    return out, lse
+
+
+# ---------------------------------------------------------------------- #
+# flash attention (backward)
+#
+# Hand-written dq / dk+dv kernels (FlashAttention-2 recipe): P is
+# recomputed blockwise from (q, k, lse) so the O(T²) score matrix never
+# hits HBM on the backward pass either (VERDICT r1 item 1 — the old
+# backward rematerialized through the pure-JAX reference and
+# materialized (B, H, Tq, Tk) in HBM). All stats ride in (rows, 1)
+# column layout; every transpose is fused into a dot.
+# ---------------------------------------------------------------------- #
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
+                         lse_ref, dcap_ref, dq_ref, *,
+                         kv_len: int, block_kv: int, scale: float,
+                         causal: bool):
+    block_q = q_ref.shape[1]
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]                     # (block_q, 1) f32
+    dcap = dcap_ref[0]                   # (block_q, 1) f32 = rowsum(dO·O)
+    q_start = pl.program_id(1) * block_q
+
+    acc = jnp.zeros((block_q, q.shape[1]), jnp.float32)
+
+    def body(kv_idx, acc):
+        kv_start = kv_idx * block_kv
+        k_blk = k_ref[0, pl.ds(kv_start, block_kv), :].astype(
+            jnp.float32)
+        v_blk = v_ref[0, pl.ds(kv_start, block_kv), :].astype(
+            jnp.float32)
+        m_blk = mask_ref[0, 0:1, pl.ds(kv_start, block_kv)]
+
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST) * scale
+        s = jnp.where(m_blk > 0, s, NEG_INF)
+        if causal:
+            q_pos = (q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0))
+            k_pos = (kv_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1))
+            s = jnp.where(q_pos >= k_pos, s, NEG_INF)
+        p = jnp.exp(s - lse)                          # normalized
+        dp = jnp.dot(do, v_blk.T,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        ds = p * (dp - dcap)
+        return acc + jnp.dot(ds, k_blk,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+
+    acc = jax.lax.fori_loop(0, kv_len // block_kv, body, acc)
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
+                          lse_ref, dcap_ref, dk_ref, dv_ref, *,
+                          q_len: int, block_q: int, scale: float,
+                          causal: bool):
+    block_kv = k_ref.shape[1]
+    k_blk = k_ref[0].astype(jnp.float32)
+    v_blk = v_ref[0].astype(jnp.float32)
+    m_blk = mask_ref[0, 0:1, :]          # (1, block_kv)
+    kv_start = pl.program_id(1) * block_kv
+
+    dk = jnp.zeros_like(k_blk)
+    dv = jnp.zeros_like(v_blk)
+
+    def body(q_idx, carry):
+        dk, dv = carry
+        q_start = q_idx * block_q
+        q_blk = q_ref[0, pl.ds(q_start, block_q), :].astype(
+            jnp.float32)
+        do_blk = do_ref[0, pl.ds(q_start, block_q), :].astype(
+            jnp.float32)
+        lse_blk = lse_ref[0, pl.ds(q_start, block_q), :]   # (bq, 1)
+        dcap_blk = dcap_ref[0, pl.ds(q_start, block_q), :]
+
+        s = jnp.dot(q_blk, k_blk.T,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST) * scale
+        s = jnp.where(m_blk > 0, s, NEG_INF)
+        if causal:
+            q_pos = (q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0))
+            k_pos = (kv_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1))
+            s = jnp.where(q_pos >= k_pos, s, NEG_INF)
+        p = jnp.exp(s - lse_blk)
+        dv = dv + jnp.dot(p.T, do_blk,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        dp = jnp.dot(do_blk, v_blk.T,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        ds = p * (dp - dcap_blk)
+        dk = dk + jnp.dot(ds.T, q_blk,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        return dk, dv
+
+    dk, dv = jax.lax.fori_loop(0, q_len // block_q, body, (dk, dv))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward_pallas(q, k, v, mask, out, lse, g, causal: bool):
+    """dq, dk, dv via the blockwise kernels. Blocks are fixed at
+    128×128: backward slices the LANE-adjacent stats arrays with
+    ``pl.ds`` at q-block offsets, which must stay 128-aligned (Mosaic);
+    padded q rows are inert because their dO is zero-padded."""
+    batch, heads, q_len, head_dim = q.shape
+    kv_len = k.shape[2]
+    scale = 1.0 / (head_dim ** 0.5)
+    block = 128 if not pallas_interpret() else max(
+        8, min(128, q_len), min(128, kv_len))
+
+    orig_head_dim = head_dim
+    pad_head = (-head_dim) % 128 if not pallas_interpret() else 0
+    pad_q = (-q_len) % block
+    pad_kv = (-kv_len) % block
+    if pad_head:
+        pads = ((0, 0), (0, 0), (0, 0), (0, pad_head))
+        q, k, v, g = (jnp.pad(x, pads) for x in (q, k, v, g))
+        head_dim += pad_head
+    if pad_q:
+        pads = ((0, 0), (0, 0), (0, pad_q), (0, 0))
+        q = jnp.pad(q, pads)
+        g = jnp.pad(g, pads)
+        out = jnp.pad(out, pads)
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, pad_q)))
+    if pad_kv:
+        pads = ((0, 0), (0, 0), (0, pad_kv), (0, 0))
+        k = jnp.pad(k, pads)
+        v = jnp.pad(v, pads)
+        mask = jnp.pad(mask, ((0, 0), (0, pad_kv)))
+    qp, kp = q_len + pad_q, kv_len + pad_kv
+
+    bh = batch * heads
+    q_flat = q.reshape(bh, qp, head_dim)
+    k_flat = k.reshape(bh, kp, head_dim)
+    v_flat = v.reshape(bh, kp, head_dim)
+    g_flat = g.reshape(bh, qp, head_dim)
+    # D_i = Σ_d dO_id·O_id, in the same (rows, 1) layout as lse
+    dcap = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                   axis=-1).reshape(bh, qp, 1)
+    lse_flat = lse.astype(jnp.float32).reshape(bh, qp, 1)
+    mask_rep = jnp.repeat(mask.astype(jnp.float32)[:, None, :], heads,
+                          axis=1).reshape(bh, kp)
+    mask_rep = jnp.broadcast_to(mask_rep[:, None, :], (bh, 8, kp))
+
+    common_specs = dict(interpret=pallas_interpret())
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, kv_len=kp,
+                          block_kv=block, scale=scale, causal=causal),
+        out_shape=jax.ShapeDtypeStruct((bh, qp, head_dim), q.dtype),
+        grid=(bh, qp // block),
+        in_specs=[
+            pl.BlockSpec((1, block, head_dim), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, kp, head_dim), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, kp, head_dim), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 8, kp), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block, head_dim), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block, 1), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block, head_dim),
+                               lambda b, i: (b, i, 0)),
+        **common_specs,
+    )(q_flat, k_flat, v_flat, mask_rep, g_flat, lse_flat, dcap)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, q_len=qp,
+                          block_q=block, scale=scale, causal=causal),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, kp, head_dim), k.dtype),
+            jax.ShapeDtypeStruct((bh, kp, head_dim), v.dtype),
+        ),
+        grid=(bh, kp // block),
+        in_specs=[
+            pl.BlockSpec((1, qp, head_dim), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, block, head_dim), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, block, head_dim), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, 8, block), lambda b, j: (b, 0, j)),
+            pl.BlockSpec((1, qp, head_dim), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, qp, 1), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, qp, 1), lambda b, j: (b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block, head_dim), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, block, head_dim), lambda b, j: (b, j, 0)),
+        ),
+        **common_specs,
+    )(q_flat, k_flat, v_flat, mask_rep, g_flat, lse_flat, dcap)
+
+    dq = dq.reshape(batch, heads, qp, head_dim)[:, :, :q_len]
+    dk = dk.reshape(batch, heads, kp, head_dim)[:, :, :kv_len]
+    dv = dv.reshape(batch, heads, kp, head_dim)[:, :, :kv_len]
+    if pad_head:
+        dq = dq[..., :orig_head_dim]
+        dk = dk[..., :orig_head_dim]
+        dv = dv[..., :orig_head_dim]
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -175,24 +390,35 @@ def flash_attention(q, k, v, mask, causal: bool = False,
 
     ``mask``: (B, Tk) float key-validity mask. Equivalent to
     ``dot_product_attention`` with ``attention_bias_from_mask(mask)``
-    (+ causal bias when ``causal``). Backward rematerializes through
-    the pure-JAX reference.
+    (+ causal bias when ``causal``). Backward runs the hand-written
+    dq/dkv Pallas kernels (score matrix never materializes in HBM in
+    either direction); NM_PALLAS_TRAIN=0 falls back to an XLA
+    rematerialization through the pure-JAX reference.
     """
     # the kernel's masking path is f32-only (bf16 masks arrive under
     # the compute-precision policy and buy nothing)
     mask = mask.astype(jnp.float32)
-    return _flash_attention_pallas(q, k, v, mask, causal,
-                                   block_q, block_kv)
+    out, _ = _flash_attention_pallas(q, k, v, mask, causal,
+                                     block_q, block_kv)
+    return out
 
 
 def _flash_fwd(q, k, v, mask, causal, block_q, block_kv):
-    out = _flash_attention_pallas(q, k, v, mask, causal,
-                                  block_q, block_kv)
-    return out, (q, k, v, mask)
+    mask = mask.astype(jnp.float32)
+    out, lse = _flash_attention_pallas(q, k, v, mask, causal,
+                                       block_q, block_kv)
+    return out, (q, k, v, mask, out, lse)
 
 
 def _flash_bwd(causal, block_q, block_kv, residuals, g):
-    q, k, v, mask = residuals
+    q, k, v, mask, out, lse = residuals
+    from .kernel_config import use_pallas_train
+    if pallas_interpret() or use_pallas_train():
+        dq, dk, dv = _flash_backward_pallas(
+            q, k, v, mask, out, lse, g, causal)
+        return dq, dk, dv, jnp.zeros_like(mask)
+    # opt-out path (NM_PALLAS_TRAIN=0): XLA rematerialization through
+    # the pure-JAX reference (materializes the score matrix)
     _, vjp = jax.vjp(
         lambda q_, k_, v_, m_: _reference_flash(q_, k_, v_, m_, causal),
         q, k, v, mask)
