@@ -74,6 +74,16 @@ def maybe_initialize(coordinator_address: Optional[str] = None,
 
     import jax
 
+    # CPU multi-process slices (integration tests, local experiments)
+    # need a cross-process collectives backend; gloo ships with jaxlib
+    try:
+        if jax.config.jax_platforms in ("cpu",) or \
+                os.environ.get("JAX_PLATFORMS") == "cpu":
+            jax.config.update("jax_cpu_collectives_implementation",
+                              "gloo")
+    except Exception:  # noqa: BLE001 — older jaxlib without the knob
+        pass
+
     kwargs = {}
     if coordinator_address is not None:
         num_processes = num_processes if num_processes is not None \
