@@ -440,3 +440,289 @@ def bidirectional_gru_scan(fw_params, bw_params, inputs, mask,
                                 reverse=True, batch_tile=batch_tile)
     return (jnp.concatenate([fw_out, bw_out], axis=-1),
             jnp.concatenate([fw_final, bw_final], axis=-1))
+
+
+# ====================================================================== #
+# LSTM: the same streaming grid-over-time recipe (VERDICT r1 item 6 —
+# the reference treats GRU/LSTM symmetrically, nm/encoders/recurrent.py
+# cell choice). One recurrent matmul per step (h @ Wh, (B,H)x(H,4H)),
+# c/h carried in VMEM scratch, hand-written BPTT kernel.
+# ====================================================================== #
+def _lstm_fwd_block_bytes(tile: int, hidden: int,
+                          save_carries: bool) -> int:
+    weights = 4 * hidden * hidden * 4               # Wh (H, 4H)
+    streamed = 4 * hidden + _LANE + hidden + hidden  # xz m out fin
+    if save_carries:
+        streamed += 2 * hidden
+    return weights + tile * 4 * (2 * streamed + 2 * hidden)
+
+
+def _lstm_bwd_block_bytes(tile: int, hidden: int) -> int:
+    weights = 8 * hidden * hidden * 4               # Wh + Wh^T
+    streamed = (4 * hidden + _LANE + 2 * hidden + hidden  # xz m cp hp
+                + hidden + 4 * hidden + hidden)           # go dxz gfin
+    return weights + tile * 4 * (2 * streamed + 2 * hidden)
+
+
+def lstm_fits_vmem(time: int, hidden: int) -> bool:
+    del time
+    return (_lstm_fwd_block_bytes(8, hidden, True) <= VMEM_BUDGET_BYTES
+            and _lstm_bwd_block_bytes(8, hidden) <= VMEM_BUDGET_BYTES)
+
+
+def _lstm_scan_kernel(xz_ref, mask_ref, wh_ref, *rest, time: int,
+                      hidden: int, forget_bias: float,
+                      save_carries: bool):
+    if save_carries:
+        out_ref, final_ref, ccar_ref, hcar_ref, c_ref, h_ref = rest
+    else:
+        out_ref, final_ref, c_ref, h_ref = rest
+        ccar_ref = hcar_ref = None
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        c_ref[:] = jnp.zeros_like(c_ref)
+        h_ref[:] = jnp.zeros_like(h_ref)
+
+    c = c_ref[:]
+    h = h_ref[:]
+    m_t = mask_ref[0, :, :][:, 0:1]
+    z = xz_ref[0, :, :] + jnp.dot(h, wh_ref[:],
+                                  preferred_element_type=jnp.float32)
+    # TF1 BasicLSTMCell gate order: i, j, f, o
+    si = jax.nn.sigmoid(z[:, :hidden])
+    tj = jnp.tanh(z[:, hidden:2 * hidden])
+    sf = jax.nn.sigmoid(z[:, 2 * hidden:3 * hidden] + forget_bias)
+    so = jax.nn.sigmoid(z[:, 3 * hidden:])
+    c_new = c * sf + si * tj
+    h_new = jnp.tanh(c_new) * so
+    out_ref[0, :, :] = m_t * h_new
+    c_car = m_t * c_new + (1.0 - m_t) * c
+    h_car = m_t * h_new + (1.0 - m_t) * h
+    if ccar_ref is not None:
+        ccar_ref[0, :, :] = c_car
+        hcar_ref[0, :, :] = h_car
+    c_ref[:] = c_car
+    h_ref[:] = h_car
+
+    @pl.when(i == time - 1)
+    def _finish():
+        final_ref[0, :, :] = h_car
+
+
+def _lstm_bwd_kernel(xz_ref, mask_ref, cprev_ref, hprev_ref, gout_ref,
+                     gfinal_ref, wh_ref, wht_ref, dxz_ref,
+                     dc_ref, dh_ref, *, hidden: int,
+                     forget_bias: float):
+    """Reverse-time LSTM BPTT step: recompute the gates from the saved
+    pre-step (c, h), emit the per-step pre-activation gradient dz; all
+    weight/input gradients happen outside as one-shot MXU matmuls."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dc_ref[:] = jnp.zeros_like(dc_ref)
+        dh_ref[:] = gfinal_ref[0, :, :]
+
+    dc_carry = dc_ref[:]
+    dh_carry = dh_ref[:]
+    m_t = mask_ref[0, :, :][:, 0:1]
+    c_prev = cprev_ref[0, :, :]
+    h_prev = hprev_ref[0, :, :]
+    z = xz_ref[0, :, :] + jnp.dot(h_prev, wh_ref[:],
+                                  preferred_element_type=jnp.float32)
+    si = jax.nn.sigmoid(z[:, :hidden])
+    tj = jnp.tanh(z[:, hidden:2 * hidden])
+    sf = jax.nn.sigmoid(z[:, 2 * hidden:3 * hidden] + forget_bias)
+    so = jax.nn.sigmoid(z[:, 3 * hidden:])
+    c_new = c_prev * sf + si * tj
+    tc = jnp.tanh(c_new)
+
+    # out_t = m*h_new; {c,h}_carry = m*new + (1-m)*prev
+    dh_new = m_t * (dh_carry + gout_ref[0, :, :])
+    dh_prev = (1.0 - m_t) * dh_carry
+    dc_new = m_t * dc_carry + dh_new * so * (1.0 - tc * tc)
+    dc_prev = (1.0 - m_t) * dc_carry + dc_new * sf
+    dso = dh_new * tc
+    dsf = dc_new * c_prev
+    dsi = dc_new * tj
+    dtj = dc_new * si
+    dz = jnp.concatenate(
+        [dsi * si * (1.0 - si),
+         dtj * (1.0 - tj * tj),
+         dsf * sf * (1.0 - sf),
+         dso * so * (1.0 - so)], axis=-1)
+    dxz_ref[0, :, :] = dz
+    dh_prev = dh_prev + jnp.dot(
+        dz, wht_ref[:], preferred_element_type=jnp.float32)
+    dc_ref[:] = dc_prev
+    dh_ref[:] = dh_prev
+
+
+def _lstm_hoisted_inputs_tm(params, inputs):
+    inputs_tm = jnp.swapaxes(inputs, 0, 1)
+    return (jnp.dot(inputs_tm, params["kernel_x"],
+                    preferred_element_type=jnp.float32)
+            + params["bias"]).astype(jnp.float32)
+
+
+def _lstm_scan_pallas(params, inputs, mask, reverse: bool,
+                      forget_bias: float, batch_tile: int,
+                      save_carries: bool = False):
+    batch, time, _ = inputs.shape
+    hidden = params["kernel_h"].shape[0]
+    tile = _fit_batch_tile(
+        batch, batch_tile,
+        lambda t: _lstm_fwd_block_bytes(t, hidden, save_carries))
+    if tile == 0:
+        raise ValueError(
+            f"LSTM scan block (H={hidden}) exceeds VMEM; "
+            "gate dispatch with lstm_fits_vmem()")
+    xz = _lstm_hoisted_inputs_tm(params, inputs)
+    mask_tm = jnp.swapaxes(mask, 0, 1)
+    (xz, mask_tm), padded_batch = _pad_batch_axis(
+        (xz, mask_tm), batch, tile)
+    mask_lanes = _lane_mask_tm(mask_tm)
+
+    def t_of(i):
+        return time - 1 - i if reverse else i
+
+    slice_spec = pl.BlockSpec((1, tile, hidden),
+                              lambda b, i: (t_of(i), b, 0))
+    fixed_spec = pl.BlockSpec((1, tile, hidden), lambda b, i: (0, b, 0))
+    kernel = functools.partial(
+        _lstm_scan_kernel, time=time, hidden=hidden,
+        forget_bias=forget_bias, save_carries=save_carries)
+    out_shape = [
+        jax.ShapeDtypeStruct((time, padded_batch, hidden), jnp.float32),
+        jax.ShapeDtypeStruct((1, padded_batch, hidden), jnp.float32),
+    ]
+    out_specs = [slice_spec, fixed_spec]
+    if save_carries:
+        for _ in range(2):
+            out_shape.append(jax.ShapeDtypeStruct(
+                (time, padded_batch, hidden), jnp.float32))
+            out_specs.append(slice_spec)
+    results = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        grid=(padded_batch // tile, time),
+        in_specs=[
+            pl.BlockSpec((1, tile, 4 * hidden),
+                         lambda b, i: (t_of(i), b, 0)),
+            pl.BlockSpec((1, tile, _LANE),
+                         lambda b, i: (t_of(i), b, 0)),
+            pl.BlockSpec((hidden, 4 * hidden), lambda b, i: (0, 0)),
+        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=[pltpu.VMEM((tile, hidden), jnp.float32),
+                        pltpu.VMEM((tile, hidden), jnp.float32)],
+        interpret=pallas_interpret(),
+    )(xz, mask_lanes, params["kernel_h"].astype(jnp.float32))
+
+    outputs = jnp.swapaxes(results[0], 0, 1)[:batch]
+    final = results[1][0][:batch]
+    if save_carries:
+        return outputs, final, results[2][:, :batch], \
+            results[3][:, :batch]
+    return outputs, final
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def lstm_scan(params, inputs, mask, reverse: bool = False,
+              forget_bias: float = 1.0,
+              batch_tile: int = DEFAULT_BATCH_TILE):
+    """Fused LSTM over (B, T, D) inputs with (B, T) mask.
+
+    ``params`` is the LSTMCell param dict (TF1 i,j,f,o gate order,
+    ops/nn.py). Returns (outputs (B, T, H), final hidden h (B, H)) —
+    identical semantics to ``ops.rnn.unidirectional_rnn``."""
+    return _lstm_scan_pallas(params, inputs, mask, reverse,
+                             forget_bias, batch_tile)
+
+
+def _lstm_scan_fwd(params, inputs, mask, reverse, forget_bias,
+                   batch_tile):
+    outputs, final, c_car, h_car = _lstm_scan_pallas(
+        params, inputs, mask, reverse, forget_bias, batch_tile,
+        save_carries=True)
+    return (outputs, final), (params, inputs, mask, c_car, h_car)
+
+
+def _lstm_scan_bwd(reverse, forget_bias, batch_tile, residuals, grads):
+    params, inputs, mask, c_car_tm, h_car_tm = residuals
+    gout, gfinal = grads
+    in_dtype = inputs.dtype
+    xz = _lstm_hoisted_inputs_tm(params, inputs)
+    cprev = _shift_carries_tm(c_car_tm, reverse)
+    hprev = _shift_carries_tm(h_car_tm, reverse)
+    mask_tm = jnp.swapaxes(mask, 0, 1)
+    gout_tm = jnp.swapaxes(gout, 0, 1)
+
+    time, batch, hidden = hprev.shape
+    tile = _fit_batch_tile(
+        batch, batch_tile,
+        lambda t: _lstm_bwd_block_bytes(t, hidden))
+    if tile == 0:
+        raise ValueError(
+            f"LSTM BPTT block (H={hidden}) exceeds VMEM; "
+            "gate dispatch with lstm_fits_vmem()")
+    (xz_p, mask_p, cprev_p, hprev_p, gout_p, gfinal_p), padded_batch = \
+        _pad_batch_axis(
+            (xz, mask_tm, cprev, hprev,
+             gout_tm.astype(jnp.float32),
+             gfinal.astype(jnp.float32)[None]), batch, tile)
+    mask_lanes = _lane_mask_tm(mask_p)
+    wh = params["kernel_h"].astype(jnp.float32)
+
+    def t_of(i):
+        return i if reverse else time - 1 - i
+
+    slice_spec = pl.BlockSpec((1, tile, hidden),
+                              lambda b, i: (t_of(i), b, 0))
+    wide_spec = pl.BlockSpec((1, tile, 4 * hidden),
+                             lambda b, i: (t_of(i), b, 0))
+    dxz = pl.pallas_call(
+        functools.partial(_lstm_bwd_kernel, hidden=hidden,
+                          forget_bias=forget_bias),
+        out_shape=jax.ShapeDtypeStruct(
+            (time, padded_batch, 4 * hidden), jnp.float32),
+        grid=(padded_batch // tile, time),
+        in_specs=[
+            wide_spec,
+            pl.BlockSpec((1, tile, _LANE),
+                         lambda b, i: (t_of(i), b, 0)),
+            slice_spec,
+            slice_spec,
+            slice_spec,
+            pl.BlockSpec((1, tile, hidden), lambda b, i: (0, b, 0)),
+            pl.BlockSpec((hidden, 4 * hidden), lambda b, i: (0, 0)),
+            pl.BlockSpec((4 * hidden, hidden), lambda b, i: (0, 0)),
+        ],
+        out_specs=wide_spec,
+        scratch_shapes=[pltpu.VMEM((tile, hidden), jnp.float32),
+                        pltpu.VMEM((tile, hidden), jnp.float32)],
+        interpret=pallas_interpret(),
+    )(xz_p, mask_lanes, cprev_p, hprev_p, gout_p, gfinal_p,
+      wh, wh.T)
+    dxz = dxz[:, :batch]
+
+    flat = lambda a: a.reshape(-1, a.shape[-1])  # noqa: E731
+    x32_tm = jnp.swapaxes(inputs, 0, 1).astype(jnp.float32)
+    dparams = {
+        "kernel_x": jnp.dot(flat(x32_tm).T, flat(dxz),
+                            preferred_element_type=jnp.float32),
+        "kernel_h": jnp.dot(flat(hprev).T, flat(dxz),
+                            preferred_element_type=jnp.float32),
+        "bias": jnp.sum(dxz, axis=(0, 1)),
+    }
+    dparams = {k: v.astype(params[k].dtype) for k, v in dparams.items()}
+    dinputs = jnp.swapaxes(
+        jnp.dot(dxz, params["kernel_x"].astype(jnp.float32).T,
+                preferred_element_type=jnp.float32),
+        0, 1).astype(in_dtype)
+    return dparams, dinputs, jnp.zeros_like(mask)
+
+
+lstm_scan.defvjp(_lstm_scan_fwd, _lstm_scan_bwd)

@@ -17,14 +17,21 @@ import jax
 import jax.numpy as jnp
 
 
-def _pallas_eligible(cell) -> bool:
+def _pallas_cell_kind(cell):
+    """'gru' / 'lstm' when a fused Pallas scan implements this exact
+    cell's equations, else None."""
     from .kernel_config import use_pallas
-    from .nn import GRUCell, LayerNormGRUCell, NoisyGRUCell
+    from .nn import GRUCell, LayerNormGRUCell, LSTMCell, NoisyGRUCell
+    if not use_pallas():
+        return None
     # plain GRU equations only (Ortho differs in init, not math)
-    return (use_pallas() and type(cell).__name__ in
-            ("GRUCell", "OrthoGRUCell")
+    if (type(cell).__name__ in ("GRUCell", "OrthoGRUCell")
             and isinstance(cell, GRUCell)
-            and not isinstance(cell, (LayerNormGRUCell, NoisyGRUCell)))
+            and not isinstance(cell, (LayerNormGRUCell, NoisyGRUCell))):
+        return "gru"
+    if type(cell).__name__ == "LSTMCell" and isinstance(cell, LSTMCell):
+        return "lstm"
+    return None
 
 
 def unidirectional_rnn(cell, params, inputs: jnp.ndarray,
@@ -53,14 +60,21 @@ def unidirectional_rnn(cell, params, inputs: jnp.ndarray,
     if (allow_pallas and noise_rng is None
             and inputs.dtype in (jnp.float32, jnp.bfloat16)
             and all(p.dtype in (jnp.float32, jnp.bfloat16)
-                    for p in jax.tree_util.tree_leaves(params))
-            and _pallas_eligible(cell)):
-        from .pallas_rnn import fits_vmem, gru_scan
-        if fits_vmem(inputs.shape[1], cell.hidden_dim):
-            # bf16 policy: the hoisted input matmuls ride the bf16 MXU;
-            # the serial kernel computes f32 internally and returns f32
-            # states — exactly the XLA path's f32-carry semantics
-            return gru_scan(params, inputs, mask, reverse)
+                    for p in jax.tree_util.tree_leaves(params))):
+        kind = _pallas_cell_kind(cell)
+        if kind == "gru":
+            from .pallas_rnn import fits_vmem, gru_scan
+            if fits_vmem(inputs.shape[1], cell.hidden_dim):
+                # bf16 policy: the hoisted input matmuls ride the bf16
+                # MXU; the serial kernel computes f32 internally and
+                # returns f32 states — exactly the XLA path's
+                # f32-carry semantics
+                return gru_scan(params, inputs, mask, reverse)
+        elif kind == "lstm":
+            from .pallas_rnn import lstm_fits_vmem, lstm_scan
+            if lstm_fits_vmem(inputs.shape[1], cell.hidden_dim):
+                return lstm_scan(params, inputs, mask, reverse,
+                                 cell.forget_bias)
     batch = inputs.shape[0]
     time = inputs.shape[1]
     x_tm = jnp.swapaxes(inputs, 0, 1)          # (T, B, D)

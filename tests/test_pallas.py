@@ -328,3 +328,80 @@ def test_gru_scan_bf16_matches_xla_bf16():
                                atol=3e-2)
     np.testing.assert_allclose(np.asarray(final),
                                np.asarray(ref_final), atol=3e-2)
+
+
+# ---------------------------------------------------------------------- #
+# fused LSTM scan + BPTT
+# ---------------------------------------------------------------------- #
+@pytest.mark.parametrize("reverse", [False, True])
+def test_lstm_scan_matches_lax_scan(reverse):
+    from neuralmonkey_tpu.ops.pallas_rnn import lstm_scan
+    cell = nn.LSTMCell(6, 5)
+    params = cell.init(jax.random.PRNGKey(4))
+    inputs = jnp.asarray(RNG.randn(3, 7, 6), jnp.float32)
+    mask = _mask(3, 7, [7, 4, 2])
+
+    ref_out, ref_final = unidirectional_rnn(
+        cell, params, inputs, mask, reverse=reverse,
+        allow_pallas=False)
+    out, final = lstm_scan(params, inputs, mask, reverse=reverse,
+                           forget_bias=cell.forget_bias, batch_tile=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(final),
+                               np.asarray(ref_final), atol=1e-5)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_lstm_scan_bptt_matches_xla_grad(reverse):
+    """Hand-written LSTM BPTT kernel vs XLA gradients through the
+    lax.scan reference (values AND gradients)."""
+    from neuralmonkey_tpu.ops.pallas_rnn import lstm_scan
+    cell = nn.LSTMCell(6, 5)
+    params = cell.init(jax.random.PRNGKey(5))
+    inputs = jnp.asarray(RNG.randn(4, 9, 6), jnp.float32)
+    mask = _mask(4, 9, [9, 6, 3, 1])
+    cot_out = jnp.asarray(RNG.randn(4, 9, 5), jnp.float32)
+    cot_fin = jnp.asarray(RNG.randn(4, 5), jnp.float32)
+
+    def loss(run, params, inputs):
+        out, fin = run(params, inputs)
+        return jnp.sum(out * cot_out) + jnp.sum(fin * cot_fin)
+
+    g_ref = jax.grad(
+        lambda p, x: loss(
+            lambda p_, x_: unidirectional_rnn(
+                cell, p_, x_, mask, reverse=reverse,
+                allow_pallas=False), p, x),
+        argnums=(0, 1))(params, inputs)
+    g_pal = jax.grad(
+        lambda p, x: loss(
+            lambda p_, x_: lstm_scan(
+                p_, x_, mask, reverse, cell.forget_bias, 2), p, x),
+        argnums=(0, 1))(params, inputs)
+    for key in g_ref[0]:
+        np.testing.assert_allclose(
+            np.asarray(g_pal[0][key]), np.asarray(g_ref[0][key]),
+            atol=1e-4, err_msg=f"d{key} reverse={reverse}")
+    np.testing.assert_allclose(np.asarray(g_pal[1]),
+                               np.asarray(g_ref[1]), atol=1e-4)
+
+
+def test_lstm_dispatch_via_unidirectional_rnn(monkeypatch):
+    """unidirectional_rnn routes LSTM cells onto the Pallas scan when
+    kernels are enabled (same 1e-5 agreement as the GRU path)."""
+    import neuralmonkey_tpu.ops.kernel_config as kc
+    import neuralmonkey_tpu.ops.rnn as rnn_mod
+    monkeypatch.setattr(kc, "use_pallas", lambda: True)
+    cell = nn.LSTMCell(4, 3)
+    params = cell.init(jax.random.PRNGKey(6))
+    inputs = jnp.asarray(RNG.randn(2, 5, 4), jnp.float32)
+    mask = _mask(2, 5, [5, 3])
+    out_ref, fin_ref = rnn_mod.unidirectional_rnn(
+        cell, params, inputs, mask, allow_pallas=False)
+    out_pal, fin_pal = rnn_mod.unidirectional_rnn(
+        cell, params, inputs, mask, allow_pallas=True)
+    np.testing.assert_allclose(np.asarray(out_pal),
+                               np.asarray(out_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fin_pal),
+                               np.asarray(fin_ref), atol=1e-5)
