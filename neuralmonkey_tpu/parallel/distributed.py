@@ -40,7 +40,7 @@ Design decisions (documented for the data pipeline):
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any, Optional, Sequence
 
 import numpy as np
 
@@ -126,7 +126,7 @@ def sync_processes(name: str = "nm_sync") -> None:
     multihost_utils.sync_global_devices(name)
 
 
-def broadcast_flags(flags) -> tuple:
+def broadcast_flags(flags: Sequence[bool]) -> tuple:
     """Make process 0's boolean decisions authoritative on every process.
 
     Multi-host hazard (ADVICE round 1): wall-clock-derived decisions
