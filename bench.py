@@ -167,6 +167,52 @@ def verify_kernels_on_device() -> None:
     print("kernel check: pallas_rnn.gru_scan fwd+BPTT OK",
           file=sys.stderr)
 
+    lstm = nn_ops.LSTMCell(128, 128)
+    lparams = lstm.init(jax.random.PRNGKey(5))
+
+    def lstm_loss(p, pallas):
+        out, fin = unidirectional_rnn(lstm, p, gx, gm,
+                                      allow_pallas=pallas)
+        return jnp.sum(out * out) + jnp.sum(jnp.tanh(fin))
+
+    gl_ref = jax.jit(jax.grad(lambda p: lstm_loss(p, False)))(lparams)
+    gl_pal = jax.jit(jax.grad(lambda p: lstm_loss(p, True)))(lparams)
+    for key in gl_ref:
+        ref, pal = np.asarray(gl_ref[key]), np.asarray(gl_pal[key])
+        scale = max(float(np.max(np.abs(ref))), 1e-6)
+        max_dev = float(np.max(np.abs(pal - ref))) / scale
+        assert max_dev < 3e-2, (
+            f"lstm_scan BPTT grad '{key}' deviates {max_dev:.2%} "
+            "of grad scale on the real lowering")
+    print("kernel check: pallas_rnn.lstm_scan fwd+BPTT OK",
+          file=sys.stderr)
+
+    # flash-attention backward kernels (dq, dk/dv) vs XLA through the
+    # pure-JAX reference — asserted on the real Mosaic lowering
+    from neuralmonkey_tpu.ops.pallas_attention import (_reference_flash,
+                                                       flash_attention)
+    fq = jnp.asarray(rng.randn(2, 4, 64, 64).astype(np.float32))
+    fk = jnp.asarray(rng.randn(2, 4, 64, 64).astype(np.float32))
+    fv = jnp.asarray(rng.randn(2, 4, 64, 64).astype(np.float32))
+    fm = np.ones((2, 64), np.float32)
+    fm[1, 50:] = 0.0
+    fm = jnp.asarray(fm)
+    fcot = jnp.asarray(rng.randn(2, 4, 64, 64).astype(np.float32))
+    fg_pal = jax.jit(jax.grad(lambda a, b, c: jnp.sum(
+        flash_attention(a, b, c, fm) * fcot),
+        argnums=(0, 1, 2)))(fq, fk, fv)
+    fg_ref = jax.jit(jax.grad(lambda a, b, c: jnp.sum(
+        _reference_flash(a, b, c, fm, False) * fcot),
+        argnums=(0, 1, 2)))(fq, fk, fv)
+    for name, a, b in zip("qkv", fg_pal, fg_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.max(np.abs(b))), 1e-6)
+        max_dev = float(np.max(np.abs(a - b))) / scale
+        assert max_dev < 3e-2, (
+            f"flash backward d{name} deviates {max_dev:.2%} "
+            "of grad scale on the real lowering")
+    print("kernel check: flash_attention fwd+bwd OK", file=sys.stderr)
+
 
 def tpu_throughput() -> float:
     """Whole search jitted on device."""

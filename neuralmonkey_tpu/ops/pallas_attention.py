@@ -296,12 +296,13 @@ def _flash_backward_pallas(q, k, v, mask, out, lse, g, causal: bool):
         8, min(128, q_len), min(128, kv_len))
 
     orig_head_dim = head_dim
-    pad_head = (-head_dim) % 128 if not pallas_interpret() else 0
+    pad_head = (-head_dim) % 128
     pad_q = (-q_len) % block
     pad_kv = (-kv_len) % block
     if pad_head:
         pads = ((0, 0), (0, 0), (0, 0), (0, pad_head))
-        q, k, v, g = (jnp.pad(x, pads) for x in (q, k, v, g))
+        q, k, v, g, out = (jnp.pad(x, pads)
+                           for x in (q, k, v, g, out))
         head_dim += pad_head
     if pad_q:
         pads = ((0, 0), (0, 0), (0, pad_q), (0, 0))
