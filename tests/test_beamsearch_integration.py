@@ -40,12 +40,15 @@ def test_beam_metrics_validated(trained):
 
 
 def test_beam_at_least_close_to_greedy(trained):
-    """Beam output should not be drastically worse than greedy."""
+    """Beam output should not be drastically worse than greedy even
+    this early in training (2 epochs; the converged-quality contract
+    lives in tests/test_quality_gates.py, which asserts absolute BLEU
+    and beam >= greedy - 1)."""
     _, out = trained
     records = [json.loads(line)
                for line in open(os.path.join(out, "metrics.jsonl"))]
     last = [r for r in records if r["kind"] == "val"][-1]
-    assert last["target_beam/BLEU-4"] >= last["target/BLEU-4"] - 10.0
+    assert last["target_beam/BLEU-4"] >= last["target/BLEU-4"] - 5.0
 
 
 def test_checkpoint_ensembling(trained):
