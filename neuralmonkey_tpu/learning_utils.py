@@ -23,6 +23,9 @@ from .runners.base_runner import ExecutionResult, reduce_execution_results
 _TIME_PERIOD = re.compile(r"^(\d+(\.\d+)?)([smhd])$")
 _UNIT_SECONDS = {"s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
 
+# lazily-built jitted stacker used by _sync_losses (see comment there)
+_stack_fn = None
+
 
 def _sync_losses(step_losses: List[Dict[str, Any]]
                  ) -> List[Dict[str, float]]:
@@ -33,14 +36,23 @@ def _sync_losses(step_losses: List[Dict[str, Any]]
     not per step."""
     if not step_losses:
         return []
+    import jax
     import jax.numpy as jnp
     spans = [list(d.keys()) for d in step_losses]
     flat = [d[k] for d, keys in zip(step_losses, spans) for k in keys]
     if not flat:
         return [dict(d) for d in step_losses]
+    global _stack_fn
+    if _stack_fn is None:
+        # stack INSIDE one persistent jit (cached per window length):
+        # the eager per-primitive dispatch path intermittently aborts
+        # the process when it races the prefetch thread's device_put
+        # (observed on the 1-core CPU backend); the pjit fastpath is
+        # thread-safe
+        _stack_fn = jax.jit(lambda vals: jnp.stack(
+            [jnp.asarray(v, jnp.float32) for v in vals]))
     try:
-        arr = np.asarray(jnp.stack(
-            [jnp.asarray(v, jnp.float32) for v in flat]))
+        arr = np.asarray(_stack_fn(flat))
     except TypeError:
         return [{k: float(v) for k, v in d.items()}
                 for d in step_losses]
