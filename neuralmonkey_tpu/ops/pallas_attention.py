@@ -55,9 +55,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
         # mask arrives sublane-expanded (bh, 8, Tk); read one 2-D row
         m_blk = mask_ref[0, 0:1, pl.ds(kv_start, block_kv)]
 
+        # default matmul precision: bf16 operand passes with f32
+        # accumulation — the same MXU semantics as the pure-JAX
+        # reference's einsum (HIGHEST costs 3-6 MXU passes per matmul
+        # and measured ~12% of the whole T=256 transformer train step)
         scores = jnp.dot(q, k_blk.T,
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+                         preferred_element_type=jnp.float32)
         scores = jnp.where(m_blk > 0, scores, NEG_INF)
         if causal:
             q_pos = (q_start
@@ -75,10 +78,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
         new_sum = row_sum * correction + jnp.sum(p, axis=1,
                                                  keepdims=True)
         new_acc = acc * correction + jnp.dot(
-            p, v_blk, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            p, v_blk, preferred_element_type=jnp.float32)
         return new_acc, new_max, new_sum
 
+    if causal:
+        # blocks strictly above the diagonal are fully masked — skip
+        # them (halves the causal forward's work on average)
+        num_kv_blocks = jnp.minimum(
+            num_kv_blocks,
+            (q_start + block_q + block_kv - 1) // block_kv)
     acc, row_max, row_sum = jax.lax.fori_loop(
         0, num_kv_blocks, body, (acc, row_max, row_sum))
     o_ref[0] = (acc / jnp.maximum(row_sum, 1e-20)).astype(o_ref.dtype)
@@ -87,6 +95,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
     # (block_q, 1) column layout — the lse array keeps a trailing
     # singleton dim so no in-kernel transpose is ever needed.
     lse_ref[0] = row_max + jnp.log(jnp.maximum(row_sum, 1e-20))
+
+
+def _head_pad(head_dim: int) -> int:
+    """Padding needed to make the head dim Mosaic-legal as a block's
+    last dimension: multiples and divisors of the 128-lane both lower
+    (64 stays 64 — halving HBM traffic and footprint vs padding)."""
+    if head_dim % 128 == 0 or 128 % head_dim == 0:
+        return 0
+    return (-head_dim) % 128
 
 
 def _reference_flash(q, k, v, mask, causal: bool):
@@ -104,10 +121,12 @@ def _flash_attention_pallas(q, k, v, mask, causal: bool,
     kv_len = k.shape[2]
     scale = 1.0 / (head_dim ** 0.5)
 
-    # TPU lanes: the last block dim must be a multiple of 128. Zero-pad
-    # the head dim — zeros are inert in both the scores and the output.
+    # TPU lanes: a block's last dim must be a multiple OR a divisor of
+    # the 128-lane. Zero-pad other head dims — zeros are inert in both
+    # the scores and the output. (Unconditional padding doubled every
+    # HBM buffer at D=64 and OOM'd the T=512 train step.)
     orig_head_dim = head_dim
-    pad_head = (-head_dim) % 128
+    pad_head = _head_pad(head_dim)
     if pad_head:
         pads = ((0, 0), (0, 0), (0, 0), (0, pad_head))
         q = jnp.pad(q, pads)
@@ -211,8 +230,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
             jnp.float32)
         m_blk = mask_ref[0, 0:1, pl.ds(kv_start, block_kv)]
 
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST) * scale
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
         s = jnp.where(m_blk > 0, s, NEG_INF)
         if causal:
             q_pos = (q_start + jax.lax.broadcasted_iota(
@@ -222,14 +240,17 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
             s = jnp.where(q_pos >= k_pos, s, NEG_INF)
         p = jnp.exp(s - lse)                          # normalized
         dp = jnp.dot(do, v_blk.T,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     preferred_element_type=jnp.float32)
         ds = p * (dp - dcap)
         return acc + jnp.dot(ds, k_blk,
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+                             preferred_element_type=jnp.float32)
 
-    acc = jax.lax.fori_loop(0, kv_len // block_kv, body, acc)
+    num_kv = kv_len // block_kv
+    if causal:
+        # kv blocks strictly above this q block's diagonal are masked
+        num_kv = jnp.minimum(
+            num_kv, (q_start + block_q + block_kv - 1) // block_kv)
+    acc = jax.lax.fori_loop(0, num_kv, body, acc)
     dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
 
 
@@ -257,8 +278,7 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
         dcap_blk = dcap_ref[0, pl.ds(q_start, block_q), :]
 
         s = jnp.dot(q_blk, k_blk.T,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST) * scale
+                    preferred_element_type=jnp.float32) * scale
         s = jnp.where(m_blk > 0, s, NEG_INF)
         if causal:
             q_pos = (q_start + jax.lax.broadcasted_iota(
@@ -268,18 +288,19 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
             s = jnp.where(q_pos >= k_pos, s, NEG_INF)
         p = jnp.exp(s - lse_blk)
         dv = dv + jnp.dot(p.T, do_blk,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          preferred_element_type=jnp.float32)
         dp = jnp.dot(do_blk, v_blk.T,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     preferred_element_type=jnp.float32)
         ds = p * (dp - dcap_blk)
         dk = dk + jnp.dot(ds.T, q_blk,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          preferred_element_type=jnp.float32)
         return dk, dv
 
-    dk, dv = jax.lax.fori_loop(0, q_len // block_q, body, (dk, dv))
+    q_lo = 0
+    if causal:
+        # q blocks entirely before this kv block see none of it
+        q_lo = kv_start // block_q
+    dk, dv = jax.lax.fori_loop(q_lo, q_len // block_q, body, (dk, dv))
     dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
@@ -296,7 +317,7 @@ def _flash_backward_pallas(q, k, v, mask, out, lse, g, causal: bool):
         8, min(128, q_len), min(128, kv_len))
 
     orig_head_dim = head_dim
-    pad_head = (-head_dim) % 128
+    pad_head = _head_pad(head_dim)
     pad_q = (-q_len) % block
     pad_kv = (-kv_len) % block
     if pad_head:
