@@ -257,6 +257,7 @@ class TransformerDecoder(AutoregressiveDecoder):
         cache_bias = jnp.where(positions <= step, 0.0,
                                NEG_INF)[None, None, None, :]
 
+        att_weights = None
         new_caches = []
         for i in range(self.depth):
             layer = params[f"layer_{i}"]
@@ -283,23 +284,42 @@ class TransformerDecoder(AutoregressiveDecoder):
                 att_p = layer[f"cross_att_{e}"]
                 q = nn.linear(att_p["q"], normed)
                 k_enc, v_enc = constants["enc_kv"][e][i]
+                qh = split_heads(q, self.n_heads_enc)
                 cross = dot_product_attention(
-                    split_heads(q, self.n_heads_enc),
+                    qh,
                     split_heads(k_enc, self.n_heads_enc),
                     split_heads(v_enc, self.n_heads_enc),
                     constants["enc_bias"][e])
+                if i == self.depth - 1 and e == 0:
+                    # last layer's first-encoder cross-attention,
+                    # head-averaged — the attention-map feature
+                    # (DCE'd when the caller ignores aux). The score
+                    # matmul duplicates the one inside
+                    # dot_product_attention; XLA CSEs it.
+                    scale = 1.0 / (qh.shape[-1] ** 0.5)
+                    s = jnp.einsum(
+                        "bhqd,bhkd->bhqk",
+                        qh.astype(k_enc.dtype),
+                        split_heads(k_enc, self.n_heads_enc),
+                        preferred_element_type=jnp.float32) * scale
+                    w = jax.nn.softmax(
+                        s + constants["enc_bias"][e], axis=-1)
+                    att_weights = jnp.mean(w[:, :, 0, :], axis=1)
                 x = x + nn.linear(att_p["o"], merge_heads(cross))
             normed = layer_norm(layer["ln_ff"], x)
             x = x + ffn(layer["ff"], normed)
 
         x = layer_norm(params["ln_out"], x)[:, 0, :]  # (B, D)
         logits = self._logits_from_states(params, table, x)
-        return tuple(new_caches), logits, {}
+        aux = ({"attention_weights": (att_weights,)}
+               if att_weights is not None else {})
+        return tuple(new_caches), logits, aux
 
     # ------------------------------------------------------------------ #
     # lineage decoding: beam search without physical cache reorder
     # ------------------------------------------------------------------ #
     lineage_decode = True
+    emits_attention = True
 
     def decode_step_lineage(self, constants: Any, loop_state: Any,
                             prev_ids: jnp.ndarray, step: Any,
@@ -336,6 +356,8 @@ class TransformerDecoder(AutoregressiveDecoder):
         x = x + sinusoidal_position_encoding(
             length, self.model_dim, x.dtype)[step]
         x = x[:, None, :]  # (B*K, 1, D)
+
+        att_weights = None
 
         positions = jnp.arange(win)
         # (1, 1, 1, W): positions beyond `step` masked for every head
@@ -408,6 +430,11 @@ class TransformerDecoder(AutoregressiveDecoder):
                 # enc_bias is (B, 1, 1, T): broadcasts over heads/beams
                 w_e = jax.nn.softmax(
                     s_e + constants["enc_bias"][e], axis=-1)
+                if i == self.depth - 1 and e == 0:
+                    # attention-map feature (see decode_step); (rows,
+                    # T_src) head-averaged, DCE'd when aux is unused
+                    att_weights = jnp.mean(w_e, axis=1).reshape(
+                        rows, src_len)
                 cross = jnp.einsum(
                     "bhkt,bthd->bkhd", w_e.astype(ve.dtype), ve,
                     preferred_element_type=jnp.float32)
@@ -418,4 +445,6 @@ class TransformerDecoder(AutoregressiveDecoder):
 
         x = layer_norm(params["ln_out"], x)[:, 0, :]
         logits = self._logits_from_states(params, table, x)
-        return tuple(new_caches), logits, {}
+        aux = ({"attention_weights": (att_weights,)}
+               if att_weights is not None else {})
+        return tuple(new_caches), logits, aux

@@ -412,10 +412,11 @@ def flash_attention(q, k, v, mask, causal: bool = False,
 
     ``mask``: (B, Tk) float key-validity mask. Equivalent to
     ``dot_product_attention`` with ``attention_bias_from_mask(mask)``
-    (+ causal bias when ``causal``). Backward runs the hand-written
-    dq/dkv Pallas kernels (score matrix never materializes in HBM in
-    either direction); NM_PALLAS_TRAIN=0 falls back to an XLA
-    rematerialization through the pure-JAX reference.
+    (+ causal bias when ``causal``). Backward: XLA rematerialization
+    through the pure-JAX reference below ~2 GB of score-matrix memory
+    (the measured-faster path on v5e at T<=512), the hand-written
+    dq/dkv Pallas kernels above it (no O(T²) HBM in either direction);
+    NM_FLASH_BWD=1/0 forces the choice.
     """
     # the kernel's masking path is f32-only (bf16 masks arrive under
     # the compute-precision policy and buy nothing)
@@ -432,15 +433,36 @@ def _flash_fwd(q, k, v, mask, causal, block_q, block_kv):
     return out, (q, k, v, mask, out, lse)
 
 
+# Above this much O(T²) score-matrix memory the XLA rematerialized
+# backward risks OOM and the blockwise kernels take over. Below it the
+# XLA path is the measured-faster choice on v5e (A/B at the production
+# shape B=64/H=8/D=64, f32 train tokens/sec: T=256 99.1k XLA vs 88.9k
+# Pallas; T=512 both fit and XLA stays ahead) — the kernels' win is
+# memory, not speed, in the product's <=512-token range.
+_PALLAS_BWD_BYTES_THRESHOLD = 2 * 1024 ** 3
+
+
+def _use_pallas_bwd(q, k) -> bool:
+    import os
+    env = os.environ.get("NM_FLASH_BWD")
+    if env is not None and env != "":
+        return env not in ("0", "false", "False")
+    batch, heads, q_len, _ = q.shape
+    scores_bytes = batch * heads * q_len * k.shape[2] * 4
+    return scores_bytes >= _PALLAS_BWD_BYTES_THRESHOLD
+
+
 def _flash_bwd(causal, block_q, block_kv, residuals, g):
     q, k, v, mask, out, lse = residuals
     from .kernel_config import use_pallas_train
-    if pallas_interpret() or use_pallas_train():
+    if (pallas_interpret()
+            or (use_pallas_train() and _use_pallas_bwd(q, k))):
         dq, dk, dv = _flash_backward_pallas(
             q, k, v, mask, out, lse, g, causal)
         return dq, dk, dv, jnp.zeros_like(mask)
-    # opt-out path (NM_PALLAS_TRAIN=0): XLA rematerialization through
-    # the pure-JAX reference (materializes the score matrix)
+    # the measured-faster path at short/medium T: XLA
+    # rematerialization through the pure-JAX reference (materializes
+    # the score matrix — fine until _PALLAS_BWD_BYTES_THRESHOLD)
     _, vjp = jax.vjp(
         lambda q_, k_, v_, m_: _reference_flash(q_, k_, v_, m_, causal),
         q, k, v, mask)

@@ -203,3 +203,40 @@ def test_beam_lineage_ensemble_matches_physical(model):
     np.testing.assert_array_equal(
         np.asarray(outs["on"].token_ids),
         np.asarray(outs["off"].token_ids))
+
+
+def test_transformer_beam_attention_histories(model):
+    """Transformer decode steps emit last-layer cross-attention; beam
+    search records + resolves them identically on the lineage and
+    physical paths (rows are distributions over the source)."""
+    from neuralmonkey_tpu.models.decoders.beam_search_decoder import \
+        BeamSearchDecoder
+    _, dec, params, batch = model
+    outs = {}
+    for mode in ("off", "on"):
+        bs = BeamSearchDecoder(name=f"tah_{mode}", parent_decoder=dec,
+                               beam_size=3, length_normalization=0.6,
+                               lineage=mode)
+        out = jax.jit(
+            lambda p, b, bs=bs: bs.search(
+                Context(p, b, train=False), with_attention=True)
+        )(params, batch)
+        outs[mode] = jax.tree_util.tree_map(np.asarray, out)
+    src_len = next(v for k, v in batch.items()
+                   if k.endswith(".ids")).shape[1]
+    n_sent = outs["on"].token_ids.shape[0]
+    for mode, out in outs.items():
+        att = out.attention
+        assert att.shape == (n_sent, 3, dec.max_output_len, src_len)
+        for b in range(n_sent):
+            n = int(out.lengths[b, 0])
+            if n:
+                np.testing.assert_allclose(
+                    att[b, 0, :n].sum(-1), np.ones(n), atol=1e-4,
+                    err_msg=mode)
+    for b in range(n_sent):
+        for k in range(3):
+            n = int(outs["on"].lengths[b, k])
+            np.testing.assert_allclose(
+                outs["on"].attention[b, k, :n],
+                outs["off"].attention[b, k, :n], atol=5e-4)
