@@ -78,3 +78,77 @@ def test_beam_matches_greedy_quality(val_scores):
 
 def test_beam_absolute_floor(val_scores):
     assert val_scores["target_beam"] > 90.0, val_scores
+
+
+# --- Transformer gate (milestone-3 config, VERDICT r1 item 3 "and the
+# transformer INI"). The 300-sentence checked-in corpus is too small for
+# a tiny transformer to generalize over repeated tokens (it plateaus at
+# ~77 val BLEU while memorizing train at 100 — dropped duplicates like
+# "vier vier" -> "vier"), so the gate synthesizes a larger deterministic
+# corpus from the same digit-word task; measured 96.6 train-sample /
+# 98.9 val BLEU at this budget (recorded in BASELINE.md).
+
+TRANSFORMER_CONFIG = os.path.join(os.path.dirname(__file__), "configs",
+                                  "transformer.ini")
+
+_EN = "zero one two three four five six seven eight nine".split()
+_DE = "null eins zwei drei vier fünf sechs sieben acht neun".split()
+
+
+def _synthesize_corpus(directory, n_sentences=2000, seed=7):
+    import random
+    rng = random.Random(seed)
+    src = os.path.join(directory, "train.en")
+    tgt = os.path.join(directory, "train.de")
+    with open(src, "w") as f_src, open(tgt, "w") as f_tgt:
+        for _ in range(n_sentences):
+            ids = [rng.randrange(10) for _ in range(rng.randint(2, 10))]
+            f_src.write(" ".join(_EN[i] for i in ids) + "\n")
+            f_tgt.write(" ".join(_DE[i] for i in ids) + "\n")
+    return src, tgt
+
+
+@pytest.fixture(scope="module")
+def converged_transformer(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("quality_transformer_exp"))
+    gen = str(tmp_path_factory.mktemp("quality_transformer_data"))
+    src, tgt = _synthesize_corpus(gen)
+    exp = Experiment(
+        TRANSFORMER_CONFIG, train_mode=True,
+        config_changes=[f'main.output="{out}"', "main.epochs=14",
+                        "main.validation_period=50000",
+                        "main.logging_period=400",
+                        f'train_data.s_source="{src}"',
+                        f'train_data.s_target="{tgt}"',
+                        "encoder.dropout_keep_prob=1.0",
+                        "decoder.dropout_keep_prob=1.0"])
+    exp.train()
+    return exp, src, tgt
+
+
+def _decode_bleu_bpe(exp, src_path, ref_path, limit=None):
+    from neuralmonkey_tpu.processors.bpe import BPEPreprocessor
+    bpe = BPEPreprocessor(merge_file=os.path.join(DATA, "merges.bpe"))
+    ds = load_dataset_from_files(
+        name="q", s_source=src_path, s_target=ref_path,
+        preprocessors=[("source", "source_bpe", bpe),
+                       ("target", "target_bpe", bpe)])
+    _, outputs = exp.run_model(ds)
+    refs = list(ds.get_series("target"))
+    n = limit or len(refs)
+    return BLEU(outputs["target"][:n], refs[:n])
+
+
+def test_transformer_training_sample_memorization(converged_transformer):
+    exp, src, tgt = converged_transformer
+    assert _decode_bleu_bpe(exp, src, tgt, limit=100) > 90.0
+
+
+def test_transformer_validation_floor(converged_transformer):
+    """Held-out digit sentences (the checked-in val set) must decode
+    near-perfectly — in particular, repeated source tokens must not be
+    collapsed (the failure mode of the undertrained model)."""
+    exp, _, _ = converged_transformer
+    score = _decode_bleu_bpe(exp, os.path.join(DATA, "val.en"),
+                             os.path.join(DATA, "val.de"))
+    assert score > 90.0, score
