@@ -493,7 +493,77 @@ def lineage_flip_rate(model: str = "rnn") -> float:
     return float(np.mean(flips))
 
 
+def serve_latency(model: str = "rnn", requests: int = 50) -> dict:
+    """Online-serving latency: batch-1 end-to-end request time.
+
+    The server path (server.py -> Experiment.run_model) decodes one
+    sentence per request; this measures that round sequentially — no
+    pipelining, latency not throughput: device decode + host transfer
+    + ids->tokens postprocessing per request. Greedy and beam=10."""
+    import jax
+    builder = build_transformer if model == "transformer" else build
+    enc, dec, bs, params, batch, Context = builder(1)
+
+    greedy = jax.jit(
+        lambda p, b: dec.decoded(Context(p, b, train=False)))
+    beam = jax.jit(
+        lambda p, b: bs.search(Context(p, b, train=False)).token_ids)
+
+    # random weights never argmax to </s>, so the early-exit decode
+    # loops run all MAX_OUT steps — the "full" rows (worst case). The
+    # "floor" rows bias the </s> logit so every sentence finishes on
+    # the first step: the request-overhead floor (dispatch + one
+    # decode step + transfer + host postprocess) that the greedy
+    # while_loop / beam all-finished exit reach on short sentences.
+    import jax.numpy as jnp
+    bias = np.zeros(VOCAB, np.float32)
+    bias[2] = 1e4  # END token wins every argmax
+
+    def eos_biased(p):
+        part = dec.name if dec.name in p else "decoder"
+        p = dict(p)
+        p[part] = dict(p[part])
+        if "logit" in p[part]:  # RNN decoder: logit/{w,b} projection
+            p[part]["logit"] = dict(p[part]["logit"])
+            p[part]["logit"]["b"] = (
+                p[part]["logit"]["b"] + jnp.asarray(bias))
+        else:  # transformer decoder: tied embeddings + logit_bias
+            p[part]["logit_bias"] = (
+                p[part]["logit_bias"] + jnp.asarray(bias))
+        return p
+
+    out = {}
+    for label, fn, select in (
+            ("greedy", greedy, lambda a: a),
+            ("beam10", beam, lambda a: a[:, 0, :])):
+        for plabel, p in (("full", params),
+                          ("floor", eos_biased(params))):
+            for _ in range(3):  # compile + warm (full host transfer)
+                np.asarray(fn(p, batch))
+            lats = []
+            for _ in range(requests):
+                start = time.perf_counter()
+                arr = np.asarray(fn(p, batch))
+                _ = dec.vocabulary.vectors_to_sentences(select(arr))
+                lats.append((time.perf_counter() - start) * 1000)
+            lats.sort()
+            out[f"{label}_{plabel}"] = {
+                "p50_ms": round(lats[len(lats) // 2], 2),
+                "p99_ms": round(lats[min(len(lats) - 1,
+                                         int(len(lats) * 0.99))], 2),
+                "mean_ms": round(sum(lats) / len(lats), 2)}
+    return out
+
+
 def main() -> None:
+    if "--serve" in sys.argv:
+        for model in ("rnn", "transformer"):
+            print(json.dumps({
+                "metric": f"{model}_serve_latency",
+                "value": serve_latency(model),
+                "unit": "ms/request, batch 1"}))
+        return
+
     if "--cpu-baseline" in sys.argv:
         print(json.dumps({"cpu_sentences_per_sec":
                           cpu_reference_throughput()}))

@@ -28,9 +28,16 @@ class GreedyRunner(BaseRunner):
         return ["train_xent", "runtime_xent"]
 
     def fetches(self, ctx: Context) -> Dict:
-        out = {"decoded": self.decoder.decoded(ctx)}
-        # losses only when the batch carries reference targets
-        if self.decoder.target_ids_key in ctx.batch:
+        # losses only when the batch carries reference targets; the
+        # runtime loss runs the logits-stacking greedy scan, so reuse
+        # its (memoized) ids rather than also running the lean
+        # early-exit loop that plain decode uses
+        wants_losses = self.decoder.target_ids_key in ctx.batch
+        if wants_losses or self.visualize_attention:
+            out = {"decoded": self.decoder.greedy_outputs(ctx)[1]}
+        else:
+            out = {"decoded": self.decoder.decoded(ctx)}
+        if wants_losses:
             out["train_xent"] = self.decoder.train_loss(ctx)
             out["runtime_xent"] = self.decoder.runtime_loss(ctx)
         if self.visualize_attention:

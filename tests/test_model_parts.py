@@ -167,6 +167,26 @@ def test_decoder_train_and_greedy(setup):
     assert aux["attention_weights"][0].shape[0] == 4  # (T, B, Tsrc)
 
 
+def test_greedy_ids_matches_greedy_outputs(setup):
+    """The lean early-exit greedy loop (while_loop, no logits stack —
+    the serving path behind `decoded()`) must emit exactly the ids of
+    the fixed-length scan path, including PAD after </s>."""
+    vs, vt, ds = setup
+    enc = SentenceEncoder(name="enc_g", vocabulary=vs, data_id="source",
+                          embedding_size=6, rnn_size=5)
+    att = Attention(name="att_g", encoder=enc)
+    dec = Decoder(name="dec_g", vocabulary=vt, data_id="target",
+                  max_output_len=12, rnn_size=7, encoders=[enc],
+                  attentions=[att], embedding_size=6)
+    ctx, params = _build([dec], ds)
+    _, scan_ids, _ = dec.greedy_outputs(ctx)
+    lean_ids = jax.jit(
+        lambda p, b: dec.greedy_ids(Context(p, b, train=False))
+    )(params, ctx.batch)
+    np.testing.assert_array_equal(np.asarray(scan_ids),
+                                  np.asarray(lean_ids))
+
+
 def test_decoder_conditional_gru(setup):
     vs, vt, ds = setup
     enc = SentenceEncoder(name="enc", vocabulary=vs, data_id="source",
