@@ -100,11 +100,26 @@ def _main_metric_name(evaluation) -> Optional[str]:
 
 
 class MetricsWriter:
-    """JSONL metrics sink (TensorBoard-scalar equivalent)."""
+    """JSONL metrics sink, mirrored to a TensorBoard events file.
+
+    The reference wrote scalar/image summaries through
+    ``tf.summary.FileWriter`` (SURVEY.md §6) so experiment dirs were
+    TensorBoard-readable; here the same records land in both
+    ``metrics.jsonl`` (the logbook/tests surface) and a hand-encoded
+    ``events.out.tfevents.*`` file (utils/tensorboard.py), so
+    ``tensorboard --logdir <output>`` works unchanged."""
 
     def __init__(self, output_dir: Optional[str]) -> None:
+        self.output_dir = output_dir
         self.path = (os.path.join(output_dir, "metrics.jsonl")
                      if output_dir else None)
+        self._events = None
+
+    def _event_writer(self):
+        if self._events is None and self.output_dir is not None:
+            from .utils.tensorboard import EventFileWriter
+            self._events = EventFileWriter(self.output_dir)
+        return self._events
 
     def write(self, kind: str, step: int, values: Dict[str, float]
               ) -> None:
@@ -115,6 +130,17 @@ class MetricsWriter:
         record.update({k: float(v) for k, v in values.items()})
         with open(self.path, "a", encoding="utf-8") as f:
             f.write(json.dumps(record) + "\n")
+        self._event_writer().add_scalars(
+            step, {f"{kind}/{k}": float(v) for k, v in values.items()})
+
+    def write_image(self, step: int, tag: str, matrix) -> None:
+        """Emit a 2-D array as a TensorBoard image summary."""
+        from .parallel.distributed import is_main_process
+        if self.output_dir is None or not is_main_process():
+            return
+        from .utils.png import png_bytes
+        data, height, width = png_bytes(np.asarray(matrix))
+        self._event_writer().add_image(step, tag, data, height, width)
 
 
 def run_on_dataset(tf_manager, runners, dataset: Dataset,
@@ -283,7 +309,8 @@ def training_loop(tf_manager,
                     score, step, epoch, var_path)
                 if is_best and outputs:
                     _log_examples(val_dataset, outputs, evaluators)
-                    _write_attention_maps(results, output_dir, step)
+                    _write_attention_maps(results, output_dir, step,
+                                          metrics=metrics)
 
     if initial_test and val_datasets:
         # reference semantics: run a validation pass before training
@@ -414,10 +441,13 @@ def _log_examples(dataset: Dataset, outputs: Dict[str, List],
 
 def _write_attention_maps(results: List[ExecutionResult],
                           output_dir: Optional[str],
-                          step: int, limit: int = 3) -> None:
+                          step: int, limit: int = 3,
+                          metrics: Optional[MetricsWriter] = None
+                          ) -> None:
     """Dump the first examples' attention matrices as PNG heatmaps
     (the reference's attention image summaries; enabled by a runner's
-    visualize_attention flag)."""
+    visualize_attention flag). Also mirrored into the TensorBoard
+    events file when a MetricsWriter is provided."""
     if output_dir is None:
         return
     from .utils.png import write_png
@@ -430,6 +460,8 @@ def _write_attention_maps(results: List[ExecutionResult],
         for i, matrix in enumerate(maps[:limit]):
             path = os.path.join(directory, f"step{step}_ex{i}.png")
             write_png(path, np.asarray(matrix))
+            if metrics is not None:
+                metrics.write_image(step, f"attention/ex{i}", matrix)
         log(f"Attention maps written to {directory}")
         break
 

@@ -19,14 +19,14 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + payload)))
 
 
-def write_png(path: str, array: np.ndarray,
+def png_bytes(array: np.ndarray,
               scale: int = 8,
-              normalize: bool = True) -> None:
-    """Write a 2-D array as a grayscale PNG heatmap.
+              normalize: bool = True) -> "tuple[bytes, int, int]":
+    """Encode a 2-D array as a grayscale PNG heatmap.
 
-    ``scale`` integer-upsamples tiny matrices (attention maps are a
-    few dozen cells) so they are visible; ``normalize`` maps
-    [min, max] -> [0, 255].
+    Returns ``(png_data, height, width)``. ``scale`` integer-upsamples
+    tiny matrices (attention maps are a few dozen cells) so they are
+    visible; ``normalize`` maps [min, max] -> [0, 255].
     """
     data = np.asarray(array, np.float64)
     if data.ndim != 2:
@@ -47,5 +47,13 @@ def write_png(path: str, array: np.ndarray,
            + _chunk(b"IHDR", header)
            + _chunk(b"IDAT", zlib.compress(raw, 6))
            + _chunk(b"IEND", b""))
+    return png, height, width
+
+
+def write_png(path: str, array: np.ndarray,
+              scale: int = 8,
+              normalize: bool = True) -> None:
+    """Write a 2-D array as a grayscale PNG heatmap (see png_bytes)."""
+    png, _, _ = png_bytes(array, scale=scale, normalize=normalize)
     with open(path, "wb") as f:
         f.write(png)

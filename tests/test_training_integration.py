@@ -45,6 +45,19 @@ def test_checkpoints_and_best_link(trained):
     assert "experiment.log" in files
 
 
+def test_tensorboard_events_written(trained):
+    from neuralmonkey_tpu.utils.tensorboard import read_events
+    _, out = trained
+    paths = [f for f in os.listdir(out)
+             if f.startswith("events.out.tfevents.")]
+    assert len(paths) == 1
+    events = list(read_events(os.path.join(out, paths[0])))
+    assert events[0]["file_version"] == "brain.Event:2"
+    scalars = {k for e in events for k in e["scalars"]}
+    assert "train/loss" in scalars
+    assert "val/target/BLEU-4" in scalars
+
+
 def test_validation_metrics_present(trained):
     _, out = trained
     records = [json.loads(line)
