@@ -73,6 +73,26 @@ def test_ter():
     assert shifted == pytest.approx(0.25)
 
 
+def test_ter_snover_worked_example():
+    # Snover et al. (2006) §2: 1 shift ("this week") + 2 substitutions
+    # + 1 insertion = 4 edits over a 13-word reference.
+    hyp = ("this week the saudis denied information published "
+           "in the new york times").split()
+    ref = ("saudi arabia denied this week information published "
+           "in the american new york times").split()
+    assert TER([hyp], [ref]) == pytest.approx(4 / 13)
+
+
+def test_ter_corpus_pooling():
+    from neuralmonkey_tpu.evaluators.ter import corpus_ter, ter
+
+    hyps = [["a", "b"], ["x"]]
+    refs = [["a", "b"], ["x", "y", "z"]]
+    # sentence TERs: 0/2 and 2/3; tercom pooling: (0 + 2) / (2 + 3)
+    assert corpus_ter(hyps, refs) == pytest.approx(2 / 5)
+    assert ter(hyps[1], refs[1]) == pytest.approx(2 / 3)
+
+
 def test_chrf():
     assert ChrF3(HYP, REF_SAME) == pytest.approx(1.0)
     assert 0.0 < ChrF3(HYP, REF_DIFF) < 1.0
