@@ -19,6 +19,7 @@ import os
 import subprocess
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -364,15 +365,16 @@ def build_transformer(batch_size: int):
             logits = logits.at[..., 2].set(-1e9)
             return new_state, logits, aux
 
+    remat = bool(int(os.environ.get("BENCH_REMAT", "0")))
     enc = TransformerEncoder(
         name="tenc", vocabulary=vs, data_id="source",
         embedding_size=T_DIM, ff_hidden_size=T_FF, depth=T_DEPTH,
-        n_heads=T_HEADS)
+        n_heads=T_HEADS, remat=remat)
     dec = FullLengthTransformerDecoder(
         name="tdec", vocabulary=vt, data_id="target",
         encoders=[enc], embedding_size=T_DIM, ff_hidden_size=T_FF,
         depth=T_DEPTH, n_heads_self=T_HEADS, n_heads_enc=T_HEADS,
-        max_output_len=MAX_OUT, label_smoothing=0.1)
+        max_output_len=MAX_OUT, label_smoothing=0.1, remat=remat)
     bs = BeamSearchDecoder(name="tbs", parent_decoder=dec,
                            beam_size=BEAM, length_normalization=0.6)
     parts = collect_parts([dec])
@@ -413,7 +415,9 @@ def train_throughput(model: str = "rnn") -> dict:
         optimizer=AdamOptimizer(learning_rate=1e-4))
     tx = trainer.make_optax()
 
-    @jax.jit
+    # donate params/opt_state like the product train path
+    # (runtime.py jits with donate_argnums=(0, 1))
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng):
         def loss_fn(p):
             return trainer.total_loss(p, batch, rng)
@@ -493,6 +497,92 @@ def lineage_flip_rate(model: str = "rnn") -> float:
     return float(np.mean(flips))
 
 
+def quality_e2e(model: str = "rnn") -> dict:
+    """End-to-end convergence ON THE REAL CHIP: train the quality-gate
+    configs (the same tests/configs INIs that tests/test_quality_gates.py
+    converges on the CPU mesh) through the full product path —
+    Experiment → training_loop → checkpoints → runners — and score
+    absolute BLEU. Records the hardware-verified numbers for
+    BASELINE.md."""
+    import shutil
+    import tempfile
+
+    from neuralmonkey_tpu.dataset import load_dataset_from_files
+    from neuralmonkey_tpu.evaluators.bleu import BLEU
+    from neuralmonkey_tpu.experiment import Experiment
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    data = os.path.join(root, "tests", "data")
+    out = tempfile.mkdtemp(prefix="bench_quality_")
+    t0 = time.time()
+    try:
+        if model == "transformer":
+            # synthesized corpus (the checked-in 300 sentences are too
+            # small for the tiny transformer — see test_quality_gates)
+            sys.path.insert(0, os.path.join(root, "tests"))
+            from test_quality_gates import _synthesize_corpus
+            src, tgt = _synthesize_corpus(out)
+            config = os.path.join(root, "tests", "configs",
+                                  "transformer.ini")
+            changes = [f'main.output="{out}/exp"', "main.epochs=14",
+                       "main.validation_period=50000",
+                       "main.logging_period=400",
+                       f'train_data.s_source="{src}"',
+                       f'train_data.s_target="{tgt}"']
+        else:
+            config = os.path.join(root, "tests", "configs",
+                                  "beamsearch.ini")
+            changes = [f'main.output="{out}/exp"', "main.epochs=20",
+                       "main.validation_period=5000",
+                       "main.logging_period=100"]
+        changes += ["encoder.dropout_keep_prob=1.0",
+                    "decoder.dropout_keep_prob=1.0"]
+        exp = Experiment(config, train_mode=True, config_changes=changes)
+        exp.train()
+        train_s = time.time() - t0
+
+        def bleu(src_path, ref_path, limit=None):
+            if model == "transformer":
+                from neuralmonkey_tpu.processors.bpe import \
+                    BPEPreprocessor
+                bpe = BPEPreprocessor(
+                    merge_file=os.path.join(data, "merges.bpe"))
+                ds = load_dataset_from_files(
+                    name="q", s_source=src_path, s_target=ref_path,
+                    preprocessors=[("source", "source_bpe", bpe),
+                                   ("target", "target_bpe", bpe)])
+                series_list = ("target",)
+            else:
+                ds = load_dataset_from_files(
+                    name="q", s_source=src_path, s_target=ref_path)
+                series_list = ("target", "target_beam")
+            _, outputs = exp.run_model(ds)
+            refs = list(ds.get_series("target"))
+            n = limit or len(refs)
+            return {series: round(BLEU(outputs[series][:n], refs[:n]), 2)
+                    for series in series_list}
+
+        if model == "transformer":
+            train_scores = bleu(src, tgt, limit=100)
+        else:
+            train_scores = bleu(os.path.join(data, "train.en"),
+                                os.path.join(data, "train.de"), limit=100)
+        val_scores = bleu(os.path.join(data, "val.en"),
+                          os.path.join(data, "val.de"))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    result = {
+        "train_greedy_bleu": train_scores["target"],
+        "val_greedy_bleu": val_scores["target"],
+        "train_wall_s": round(train_s, 1),
+        "total_wall_s": round(time.time() - t0, 1),
+    }
+    if "target_beam" in val_scores:
+        result["train_beam10_bleu"] = train_scores["target_beam"]
+        result["val_beam10_bleu"] = val_scores["target_beam"]
+    return result
+
+
 def serve_latency(model: str = "rnn", requests: int = 50) -> dict:
     """Online-serving latency: batch-1 end-to-end request time.
 
@@ -562,6 +652,16 @@ def main() -> None:
                 "metric": f"{model}_serve_latency",
                 "value": serve_latency(model),
                 "unit": "ms/request, batch 1"}))
+        return
+
+    if "--quality" in sys.argv:
+        import jax
+        model = ("transformer" if "--model=transformer" in sys.argv
+                 else "rnn")
+        result = quality_e2e(model)
+        result.update({"metric": f"{model}_e2e_convergence_bleu",
+                       "platform": jax.devices()[0].platform})
+        print(json.dumps(result))
         return
 
     if "--cpu-baseline" in sys.argv:

@@ -27,6 +27,7 @@ from ...ops.attention import (NEG_INF, attention_bias_from_mask,
                               merge_heads, mha_init,
                               multi_head_attention,
                               sinusoidal_position_encoding, split_heads)
+from ..encoders.transformer import _maybe_dropout
 from .autoregressive import AutoregressiveDecoder
 
 
@@ -49,6 +50,7 @@ class TransformerDecoder(AutoregressiveDecoder):
                  dropout_keep_prob: float = 0.9,
                  attention_dropout_keep_prob: float = 1.0,
                  supress_unk: bool = False,
+                 remat: bool = False,
                  reuse: ModelPart = None,
                  save_checkpoint: str = None,
                  load_checkpoint: str = None) -> None:
@@ -71,6 +73,10 @@ class TransformerDecoder(AutoregressiveDecoder):
         self.n_heads_self = n_heads_self
         self.n_heads_enc = n_heads_enc
         self.attention_dropout_keep_prob = attention_dropout_keep_prob
+        # jax.checkpoint each layer in the teacher-forced train pass
+        # (see TransformerEncoder.remat); the incremental decode path
+        # is unaffected (no backward pass there)
+        self.remat = remat
         if self.model_dim % n_heads_self or (
                 encoders and self.model_dim % n_heads_enc):
             raise ValueError("model dim must divide the head counts")
@@ -117,6 +123,30 @@ class TransformerDecoder(AutoregressiveDecoder):
     # ------------------------------------------------------------------ #
     # teacher-forced training (fully parallel)
     # ------------------------------------------------------------------ #
+    def _train_layer_fn(self, layer, x, all_keys_mask, enc_data, rngs):
+        """One decoder layer (self-att → cross-atts → FFN) as a pure
+        function of its arguments, remat-wrappable (see encoder)."""
+        normed = layer_norm(layer["ln_self"], x)
+        att = multi_head_attention(
+            layer["self_att"], normed, normed, normed,
+            self.n_heads_self, None, rngs["self_att"],
+            self.attention_dropout_keep_prob,
+            key_mask=all_keys_mask, causal=True)
+        x = x + _maybe_dropout(att, self.dropout_keep_prob,
+                               rngs["res_self"])
+        for e, (enc_states, enc_mask) in enumerate(enc_data):
+            normed = layer_norm(layer[f"ln_cross_{e}"], x)
+            cross = multi_head_attention(
+                layer[f"cross_att_{e}"], normed, enc_states,
+                enc_states, self.n_heads_enc,
+                key_mask=enc_mask)
+            x = x + _maybe_dropout(cross, self.dropout_keep_prob,
+                                   rngs["res_cross"][e])
+        normed = layer_norm(layer["ln_ff"], x)
+        ff_out = ffn(layer["ff"], normed)
+        return x + _maybe_dropout(ff_out, self.dropout_keep_prob,
+                                  rngs["res_ff"])
+
     @tensor
     def train_logits(self, ctx: Context):
         params = ctx.get_params(self)
@@ -135,33 +165,27 @@ class TransformerDecoder(AutoregressiveDecoder):
             enc_data.append((enc.temporal_states(ctx),
                              enc.temporal_mask(ctx)))
 
+        layer_fn = (jax.checkpoint(self._train_layer_fn)
+                    if self.remat and ctx.train
+                    else self._train_layer_fn)
+        res_drop = ctx.train and self.dropout_keep_prob < 1.0
         for i in range(self.depth):
-            layer = params[f"layer_{i}"]
-            normed = layer_norm(layer["ln_self"], x)
-            att_rng = (ctx.make_rng(self, f"self_att_drop_{i}")
-                       if ctx.train
-                       and self.attention_dropout_keep_prob < 1.0
-                       else None)
-            att = multi_head_attention(
-                layer["self_att"], normed, normed, normed,
-                self.n_heads_self, None, att_rng,
-                self.attention_dropout_keep_prob,
-                key_mask=all_keys_mask, causal=True)
-            x = x + ctx.dropout(self, att, self.dropout_keep_prob,
-                                f"res_self_{i}")
-            for e, (enc_states, enc_mask) in enumerate(enc_data):
-                normed = layer_norm(layer[f"ln_cross_{e}"], x)
-                cross = multi_head_attention(
-                    layer[f"cross_att_{e}"], normed, enc_states,
-                    enc_states, self.n_heads_enc,
-                    key_mask=enc_mask)
-                x = x + ctx.dropout(
-                    self, cross, self.dropout_keep_prob,
-                    f"res_cross_{i}_{e}")
-            normed = layer_norm(layer["ln_ff"], x)
-            ff_out = ffn(layer["ff"], normed)
-            x = x + ctx.dropout(self, ff_out, self.dropout_keep_prob,
-                                f"res_ff_{i}")
+            rngs = {
+                "self_att": (ctx.make_rng(self, f"self_att_drop_{i}")
+                             if ctx.train
+                             and self.attention_dropout_keep_prob < 1.0
+                             else None),
+                "res_self": (ctx.make_rng(self, f"res_self_{i}")
+                             if res_drop else None),
+                "res_cross": [
+                    (ctx.make_rng(self, f"res_cross_{i}_{e}")
+                     if res_drop else None)
+                    for e in range(len(enc_data))],
+                "res_ff": (ctx.make_rng(self, f"res_ff_{i}")
+                           if res_drop else None),
+            }
+            x = layer_fn(params[f"layer_{i}"], x, all_keys_mask,
+                         enc_data, rngs)
 
         x = layer_norm(params["ln_out"], x)
         table = ctx.get_params(self.embeddings)["embeddings"]

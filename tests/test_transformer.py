@@ -240,3 +240,55 @@ def test_transformer_beam_attention_histories(model):
             np.testing.assert_allclose(
                 outs["on"].attention[b, k, :n],
                 outs["off"].attention[b, k, :n], atol=5e-4)
+
+
+def test_remat_matches_default_loss_and_grads():
+    """`remat=True` (jax.checkpoint per layer) must be numerically
+    identical to the default path — same ops, same per-site rng — for
+    the train loss AND its gradients, with every dropout site live."""
+    vs, vt = Vocabulary(), Vocabulary()
+    for s in SRC:
+        vs.add_tokenized_text(s)
+    for t in TGT:
+        vt.add_tokenized_text(t)
+
+    def build(remat):
+        enc = TransformerEncoder(
+            name="renc", vocabulary=vs, data_id="source",
+            embedding_size=16, depth=2, n_heads=4, ff_hidden_size=32,
+            dropout_keep_prob=0.9, attention_dropout_keep_prob=0.9,
+            remat=remat)
+        dec = TransformerDecoder(
+            name="rdec", vocabulary=vt, data_id="target",
+            max_output_len=6, encoders=[enc], embedding_size=16,
+            depth=2, n_heads_self=4, n_heads_enc=4, ff_hidden_size=32,
+            dropout_keep_prob=0.9, attention_dropout_keep_prob=0.9,
+            remat=remat)
+        return enc, dec
+
+    ds = Dataset("toy", {"source": SRC, "target": TGT})
+    results = {}
+    for remat in (False, True):
+        enc, dec = build(remat)
+        parts = collect_parts([dec])
+        params = init_all_params(parts, jax.random.PRNGKey(0))
+        batch = {}
+        for p in parts:
+            batch.update(p.featurize(ds))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+        @jax.jit
+        def loss_fn(p, batch):
+            ctx = Context(p, batch, train=True,
+                          rng=jax.random.PRNGKey(7))
+            return dec.train_loss(ctx)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        results[remat] = (float(loss),
+                          jax.tree_util.tree_map(np.asarray, grads))
+
+    assert results[False][0] == pytest.approx(results[True][0],
+                                              rel=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+        results[False][1], results[True][1])
