@@ -497,6 +497,26 @@ def lineage_flip_rate(model: str = "rnn") -> float:
     return float(np.mean(flips))
 
 
+_DIGITS_EN = "zero one two three four five six seven eight nine".split()
+_DIGITS_DE = "null eins zwei drei vier fünf sechs sieben acht neun".split()
+
+
+def synthesize_digit_corpus(directory: str, n_sentences: int = 2000,
+                            seed: int = 7):
+    """Deterministic digit-word translation corpus (the transformer
+    quality-gate task — tests/test_quality_gates.py imports this)."""
+    import random
+    rng = random.Random(seed)
+    src = os.path.join(directory, "train.en")
+    tgt = os.path.join(directory, "train.de")
+    with open(src, "w") as f_src, open(tgt, "w") as f_tgt:
+        for _ in range(n_sentences):
+            ids = [rng.randrange(10) for _ in range(rng.randint(2, 10))]
+            f_src.write(" ".join(_DIGITS_EN[i] for i in ids) + "\n")
+            f_tgt.write(" ".join(_DIGITS_DE[i] for i in ids) + "\n")
+    return src, tgt
+
+
 def quality_e2e(model: str = "rnn") -> dict:
     """End-to-end convergence ON THE REAL CHIP: train the quality-gate
     configs (the same tests/configs INIs that tests/test_quality_gates.py
@@ -519,9 +539,7 @@ def quality_e2e(model: str = "rnn") -> dict:
         if model == "transformer":
             # synthesized corpus (the checked-in 300 sentences are too
             # small for the tiny transformer — see test_quality_gates)
-            sys.path.insert(0, os.path.join(root, "tests"))
-            from test_quality_gates import _synthesize_corpus
-            src, tgt = _synthesize_corpus(out)
+            src, tgt = synthesize_digit_corpus(out)
             config = os.path.join(root, "tests", "configs",
                                   "transformer.ini")
             changes = [f'main.output="{out}/exp"', "main.epochs=14",

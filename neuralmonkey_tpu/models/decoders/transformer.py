@@ -27,7 +27,7 @@ from ...ops.attention import (NEG_INF, attention_bias_from_mask,
                               merge_heads, mha_init,
                               multi_head_attention,
                               sinusoidal_position_encoding, split_heads)
-from ..encoders.transformer import _maybe_dropout
+from ...ops.nn import maybe_dropout as _maybe_dropout
 from .autoregressive import AutoregressiveDecoder
 
 

@@ -24,15 +24,7 @@ from ...ops.attention import (attention_bias_from_mask, ffn, ffn_init,
 from ...vocabulary import Vocabulary
 
 _POSITION_TYPES = ("sinusoidal", "learned", "none")
-
-
-def _maybe_dropout(x, keep_prob, rng):
-    """Inverted dropout iff an rng was drawn for this site (the caller
-    draws one exactly when ``ctx.dropout`` would have applied it, so
-    layer bodies stay pure functions of their arguments for remat)."""
-    if rng is None:
-        return x
-    return nn.dropout(x, keep_prob, rng, True)
+_maybe_dropout = nn.maybe_dropout
 
 
 class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):

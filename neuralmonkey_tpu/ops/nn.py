@@ -157,6 +157,16 @@ def dropout(x: jnp.ndarray, keep_prob: float, rng,
     return jnp.where(mask, x / keep_prob, 0.0)
 
 
+def maybe_dropout(x: jnp.ndarray, keep_prob: float,
+                  rng) -> jnp.ndarray:
+    """Inverted dropout iff an rng was drawn for this site (the caller
+    draws one exactly when ``Context.dropout`` would have applied it,
+    so remat-wrapped layer bodies stay pure functions of their args)."""
+    if rng is None:
+        return x
+    return dropout(x, keep_prob, rng, True)
+
+
 # ---------------------------------------------------------------------- #
 # recurrent cells
 # ---------------------------------------------------------------------- #

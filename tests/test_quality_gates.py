@@ -91,21 +91,12 @@ def test_beam_absolute_floor(val_scores):
 TRANSFORMER_CONFIG = os.path.join(os.path.dirname(__file__), "configs",
                                   "transformer.ini")
 
-_EN = "zero one two three four five six seven eight nine".split()
-_DE = "null eins zwei drei vier fünf sechs sieben acht neun".split()
+# canonical corpus generator lives in bench.py so the hardware quality
+# run (`bench.py --quality --model=transformer`) and this gate train on
+# the exact same data without bench depending on test modules
+import bench
 
-
-def _synthesize_corpus(directory, n_sentences=2000, seed=7):
-    import random
-    rng = random.Random(seed)
-    src = os.path.join(directory, "train.en")
-    tgt = os.path.join(directory, "train.de")
-    with open(src, "w") as f_src, open(tgt, "w") as f_tgt:
-        for _ in range(n_sentences):
-            ids = [rng.randrange(10) for _ in range(rng.randint(2, 10))]
-            f_src.write(" ".join(_EN[i] for i in ids) + "\n")
-            f_tgt.write(" ".join(_DE[i] for i in ids) + "\n")
-    return src, tgt
+_synthesize_corpus = bench.synthesize_digit_corpus
 
 
 @pytest.fixture(scope="module")
