@@ -28,6 +28,7 @@ from ...ops.attention import (NEG_INF, attention_bias_from_mask,
                               multi_head_attention,
                               sinusoidal_position_encoding, split_heads)
 from ...ops.nn import maybe_dropout as _maybe_dropout
+from ...ops.sharding import constrain_sequence
 from .autoregressive import AutoregressiveDecoder
 
 
@@ -112,6 +113,22 @@ class TransformerDecoder(AutoregressiveDecoder):
             params["logit_bias"] = jnp.zeros((len(self.vocabulary),))
         return params
 
+    def param_partition_specs(self) -> Dict[str, tuple]:
+        """Tensor-parallel layer sharding on top of the base class's
+        vocab-sized logit specs: self/cross attention projections and
+        the FFN shard Megatron-style over the 'model' axis (see
+        ops/attention.mha_partition_specs)."""
+        from ...ops.attention import (ffn_partition_specs,
+                                      mha_partition_specs)
+        specs = dict(super().param_partition_specs())
+        for i in range(self.depth):
+            specs.update(mha_partition_specs(f"layer_{i}/self_att"))
+            for e in range(len(self.encoders)):
+                specs.update(
+                    mha_partition_specs(f"layer_{i}/cross_att_{e}"))
+            specs.update(ffn_partition_specs(f"layer_{i}/ff"))
+        return specs
+
     def _logits_from_states(self, params, embed_table, states):
         if self.tie_embeddings:
             # undo the sqrt(d) embedding scale for the output projection
@@ -132,20 +149,25 @@ class TransformerDecoder(AutoregressiveDecoder):
             self.n_heads_self, None, rngs["self_att"],
             self.attention_dropout_keep_prob,
             key_mask=all_keys_mask, causal=True)
-        x = x + _maybe_dropout(att, self.dropout_keep_prob,
-                               rngs["res_self"])
+        # sequence parallelism (no-op unless enabled): residual stream
+        # between blocks shards its time axis over 'model'
+        x = constrain_sequence(
+            x + _maybe_dropout(att, self.dropout_keep_prob,
+                               rngs["res_self"]))
         for e, (enc_states, enc_mask) in enumerate(enc_data):
             normed = layer_norm(layer[f"ln_cross_{e}"], x)
             cross = multi_head_attention(
                 layer[f"cross_att_{e}"], normed, enc_states,
                 enc_states, self.n_heads_enc,
                 key_mask=enc_mask)
-            x = x + _maybe_dropout(cross, self.dropout_keep_prob,
-                                   rngs["res_cross"][e])
+            x = constrain_sequence(
+                x + _maybe_dropout(cross, self.dropout_keep_prob,
+                                   rngs["res_cross"][e]))
         normed = layer_norm(layer["ln_ff"], x)
         ff_out = ffn(layer["ff"], normed)
-        return x + _maybe_dropout(ff_out, self.dropout_keep_prob,
-                                  rngs["res_ff"])
+        return constrain_sequence(
+            x + _maybe_dropout(ff_out, self.dropout_keep_prob,
+                               rngs["res_ff"]))
 
     @tensor
     def train_logits(self, ctx: Context):
@@ -156,6 +178,7 @@ class TransformerDecoder(AutoregressiveDecoder):
         x = x + sinusoidal_position_encoding(
             time, self.model_dim, x.dtype)[None]
         x = ctx.dropout(self, x, self.dropout_keep_prob, "input_dropout")
+        x = constrain_sequence(x)
 
         # masks stay f32 regardless of the activation policy (kernel
         # masking paths are f32; bf16 masks buy nothing)

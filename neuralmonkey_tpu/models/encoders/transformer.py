@@ -21,6 +21,7 @@ from ...ops.attention import (attention_bias_from_mask, ffn, ffn_init,
                               layer_norm, layer_norm_init, mha_init,
                               multi_head_attention,
                               sinusoidal_position_encoding)
+from ...ops.sharding import constrain_sequence
 from ...vocabulary import Vocabulary
 
 _POSITION_TYPES = ("sinusoidal", "learned", "none")
@@ -109,6 +110,19 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
         params["ln_out"] = layer_norm_init(self.model_dim)
         return params
 
+    def param_partition_specs(self) -> Dict[str, tuple]:
+        """Tensor-parallel layer sharding (the input sequence's
+        embedding table declares its own specs). Semantics are
+        unchanged by sharding — GSPMD only changes layout and inserts
+        the per-layer psums — so this is purely a scaling declaration."""
+        from ...ops.attention import (ffn_partition_specs,
+                                      mha_partition_specs)
+        specs: Dict[str, tuple] = {}
+        for i in range(self.depth):
+            specs.update(mha_partition_specs(f"layer_{i}/att"))
+            specs.update(ffn_partition_specs(f"layer_{i}/ff"))
+        return specs
+
     # ------------------------------------------------------------------ #
     @tensor
     def temporal_mask(self, ctx: Context):
@@ -133,14 +147,16 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
             key_mask=mask)
         att_out = _maybe_dropout(att_out, self.dropout_keep_prob,
                                  rngs["res_att"])
-        states = states + att_out
+        # sequence parallelism (no-op unless enabled): the residual
+        # stream between blocks shards its time axis over 'model'
+        states = constrain_sequence(states + att_out)
 
         normed = layer_norm(layer["ln_ff"], states)
         ff_out = ffn(layer["ff"], normed, dropout_rng=rngs["ff"],
                      dropout_keep_prob=self.dropout_keep_prob)
         ff_out = _maybe_dropout(ff_out, self.dropout_keep_prob,
                                 rngs["res_ff"])
-        return states + ff_out
+        return constrain_sequence(states + ff_out)
 
     @tensor
     def temporal_states(self, ctx: Context):
@@ -151,6 +167,7 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
         states = self._add_positions(params, states)
         states = ctx.dropout(self, states, self.dropout_keep_prob,
                              "input_dropout")
+        states = constrain_sequence(states)
         layer_fn = (jax.checkpoint(self._layer_fn)
                     if self.remat and ctx.train else self._layer_fn)
         res_drop = ctx.train and self.dropout_keep_prob < 1.0

@@ -61,6 +61,30 @@ def mha_init(rng, query_dim: int, kv_dim: int, model_dim: int,
     }
 
 
+def mha_partition_specs(prefix: str) -> Dict[str, tuple]:
+    """Megatron-style tensor-parallel partition specs for an
+    ``mha_init`` param subtree: q/k/v projections split their OUTPUT
+    columns over the 'model' mesh axis (heads stay device-local because
+    ``split_heads`` reshapes the column axis head-major), the output
+    projection splits its INPUT rows, so one psum after ``o`` is the
+    only collective XLA needs to insert. The ``o`` bias is replicated
+    (added after the psum)."""
+    specs: Dict[str, tuple] = {}
+    for p in ("q", "k", "v"):
+        specs[f"{prefix}/{p}/w"] = (None, "model")
+        specs[f"{prefix}/{p}/b"] = ("model",)
+    specs[f"{prefix}/o/w"] = ("model", None)
+    return specs
+
+
+def ffn_partition_specs(prefix: str) -> Dict[str, tuple]:
+    """Tensor-parallel specs for an ``ffn_init`` subtree: hidden
+    columns sharded, output rows sharded (one psum after ``out``)."""
+    return {f"{prefix}/in/w": (None, "model"),
+            f"{prefix}/in/b": ("model",),
+            f"{prefix}/out/w": ("model", None)}
+
+
 def split_heads(x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
     """(B, T, D) -> (B, H, T, D/H)."""
     b, t, d = x.shape

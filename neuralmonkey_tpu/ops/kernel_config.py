@@ -56,8 +56,30 @@ def _pallas_compiles() -> bool:
     return False
 
 
-@lru_cache(maxsize=1)
+_MULTI_DEVICE_MESH = False
+
+
+def note_multi_device_mesh() -> None:
+    """Called by the runtime when its mesh spans more than one device.
+
+    Pallas calls have no SPMD partitioning rules, so inside an
+    auto-sharded jit the partitioner would have to reshard their
+    operands to replicated (correct but collective-heavy) — or reject
+    them outright. The pure-JAX reference paths are fully
+    sharding-transparent, so multi-device meshes use those. Explicit
+    ``NM_USE_PALLAS=1`` overrides (for shard_map-wrapped setups)."""
+    global _MULTI_DEVICE_MESH
+    _MULTI_DEVICE_MESH = True
+
+
 def use_pallas() -> bool:
+    if _MULTI_DEVICE_MESH and os.environ.get("NM_USE_PALLAS") != "1":
+        return False
+    return _use_pallas_cached()
+
+
+@lru_cache(maxsize=1)
+def _use_pallas_cached() -> bool:
     env = os.environ.get("NM_USE_PALLAS")
     if env is not None:
         enabled = env not in ("0", "false", "False", "")
@@ -78,7 +100,6 @@ def pallas_interpret() -> bool:
     return jax.devices()[0].platform not in ("tpu", "axon")
 
 
-@lru_cache(maxsize=1)
 def use_pallas_train() -> bool:
     """Whether training paths may use Pallas kernels (the fused GRU
     scan now has a hand-written BPTT kernel, so this is sound; default

@@ -52,6 +52,7 @@ class TPUManager:
                  report_gpu_memory_consumption: bool = False,
                  enable_tf_debug: bool = False,
                  num_model_shards: int = 1,
+                 sequence_sharding: bool = False,
                  random_seed: int = None) -> None:
         del (num_threads, gpu_allow_growth,
              per_process_gpu_memory_fraction,
@@ -87,6 +88,27 @@ class TPUManager:
                 if n_proc > 1 else "")
         log(f"TPUManager: {self.n_devices} device(s) "
             f"[{devices[0].platform}], mesh {self.mesh.shape}{proc}")
+        if self.n_devices > 1:
+            # Pallas calls have no SPMD partitioning rules; on a
+            # multi-device mesh the pure-JAX paths (which GSPMD shards
+            # transparently) are used instead. NM_USE_PALLAS=1 overrides.
+            from .ops.kernel_config import note_multi_device_mesh
+            note_multi_device_mesh()
+
+        if sequence_sharding:
+            # Megatron-style sequence parallelism: the transformer
+            # residual stream shards its TIME axis over the model axis
+            # between blocks (see ops/sharding.py). Purely a layout
+            # constraint — GSPMD swaps the tensor-parallel psums for
+            # all-gather/reduce-scatter pairs around each block.
+            if num_model_shards > 1:
+                from .ops.sharding import enable_sequence_sharding
+                enable_sequence_sharding(self.mesh)
+                log("Sequence parallelism: residual-stream time axis "
+                    f"sharded over {num_model_shards} model shards")
+            else:
+                warn("sequence_sharding=True requires "
+                     "num_model_shards > 1; ignoring")
 
         self.replicated = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec())

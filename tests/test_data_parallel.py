@@ -193,6 +193,122 @@ def test_model_axis_sharding_transformer_declarative():
     assert loss_sharded == pytest.approx(loss_repl, rel=1e-5)
 
 
+def test_transformer_tensor_parallel_layers():
+    """Real tensor parallelism: attention q/k/v/o and FFN matrices
+    shard Megatron-style over a 4-way model axis (dp=2 x tp=4 on the
+    8-device mesh), the addressable shard shapes are split on the
+    declared dimensions, and train loss + greedy decode match the
+    fully-replicated run (sharding changes layout, never semantics)."""
+    from neuralmonkey_tpu.models.decoders.transformer import \
+        TransformerDecoder
+    from neuralmonkey_tpu.models.encoders.transformer import \
+        TransformerEncoder
+    from neuralmonkey_tpu.runners.runner import GreedyRunner
+    from neuralmonkey_tpu.runtime import TPUManager
+    vs, vt = Vocabulary(), Vocabulary()
+    for v in (vs, vt):
+        for i in range(28):  # 28 + 4 specials = 32, divides 4 shards
+            v.add_word(f"w{i}")
+    enc = TransformerEncoder(
+        name="tp_src", vocabulary=vs, data_id="source",
+        embedding_size=16, ff_hidden_size=32, depth=2, n_heads=4)
+    dec = TransformerDecoder(
+        name="tp_tgt", vocabulary=vt, data_id="target",
+        encoders=[enc], embedding_size=16, ff_hidden_size=32, depth=2,
+        n_heads_self=4, n_heads_enc=4, max_output_len=6,
+        tie_embeddings=False)
+    trainer = CrossEntropyTrainer(
+        decoders=[dec], clip_norm=1.0,
+        optimizer=AdamOptimizer(learning_rate=1e-3))
+    runner = GreedyRunner(output_series="target", decoder=dec)
+    ds = Dataset("toy", {
+        "source": [[f"w{i}", f"w{i + 1}", f"w{i + 2}"]
+                   for i in range(16)],
+        "target": [[f"w{i}", f"w{i + 3}"] for i in range(16)],
+    })
+
+    losses, decodes = {}, {}
+    for shards in (1, 4):
+        manager = TPUManager(num_model_shards=shards, random_seed=0)
+        manager.initialize_model_parts([trainer, runner], seed=0)
+        if shards == 4:
+            layer = manager.params[enc.param_key]["layer_0"]
+            qw = layer["att"]["q"]["w"]
+            assert qw.sharding.shard_shape(qw.shape) == (16, 4)
+            ow = layer["att"]["o"]["w"]
+            assert ow.sharding.shard_shape(ow.shape) == (4, 16)
+            fin = layer["ff"]["in"]["w"]
+            assert fin.sharding.shard_shape(fin.shape) == (16, 8)
+            dlayer = manager.params[dec.param_key]["layer_1"]
+            xw = dlayer["cross_att_0"]["v"]["w"]
+            assert xw.sharding.shard_shape(xw.shape) == (16, 4)
+        losses[shards] = manager.train_on_batch(
+            trainer, ds, batch_size=16)["loss"]
+        decodes[shards] = manager.run_on_batch(
+            [runner], ds, batch_size=16)[0].outputs
+    assert losses[1] == pytest.approx(losses[4], rel=1e-5)
+    assert decodes[1] == decodes[4]
+
+
+def test_transformer_sequence_parallel_matches_replicated():
+    """Megatron-style sequence parallelism (residual-stream time axis
+    sharded over the model axis between blocks) is a pure layout
+    constraint: train loss and greedy decode must match the
+    fully-replicated single-shard run."""
+    from neuralmonkey_tpu.models.decoders.transformer import \
+        TransformerDecoder
+    from neuralmonkey_tpu.models.encoders.transformer import \
+        TransformerEncoder
+    from neuralmonkey_tpu.ops.sharding import (
+        disable_sequence_sharding, sequence_sharding_mesh)
+    from neuralmonkey_tpu.runners.runner import GreedyRunner
+    from neuralmonkey_tpu.runtime import TPUManager
+    vs, vt = Vocabulary(), Vocabulary()
+    for v in (vs, vt):
+        for i in range(28):
+            v.add_word(f"w{i}")
+
+    def build():
+        enc = TransformerEncoder(
+            name="sp_src", vocabulary=vs, data_id="source",
+            embedding_size=16, ff_hidden_size=32, depth=2, n_heads=4)
+        dec = TransformerDecoder(
+            name="sp_tgt", vocabulary=vt, data_id="target",
+            encoders=[enc], embedding_size=16, ff_hidden_size=32,
+            depth=2, n_heads_self=4, n_heads_enc=4, max_output_len=6,
+            tie_embeddings=False)
+        trainer = CrossEntropyTrainer(
+            decoders=[dec], clip_norm=1.0,
+            optimizer=AdamOptimizer(learning_rate=1e-3))
+        runner = GreedyRunner(output_series="target", decoder=dec)
+        return trainer, runner
+
+    ds = Dataset("toy", {
+        # 4-token sources: the time axis divides the 4-way model axis
+        "source": [[f"w{i}", f"w{i + 1}", f"w{i + 2}", f"w{i + 3}"]
+                   for i in range(16)],
+        "target": [[f"w{i}", f"w{i + 3}"] for i in range(16)],
+    })
+    losses, decodes = {}, {}
+    try:
+        for sp in (False, True):
+            trainer, runner = build()
+            manager = TPUManager(
+                num_model_shards=4 if sp else 1,
+                sequence_sharding=sp, random_seed=0)
+            assert (sequence_sharding_mesh() is not None) == sp
+            manager.initialize_model_parts([trainer, runner], seed=0)
+            losses[sp] = manager.train_on_batch(
+                trainer, ds, batch_size=16)["loss"]
+            decodes[sp] = manager.run_on_batch(
+                [runner], ds, batch_size=16)[0].outputs
+            disable_sequence_sharding()
+    finally:
+        disable_sequence_sharding()
+    assert losses[False] == pytest.approx(losses[True], rel=1e-5)
+    assert decodes[False] == decodes[True]
+
+
 def test_ensemble_greedy_matches_single(setup):
     """Ensembling two identical param sets must reproduce the single
     model's greedy decode (runner dispatch path)."""

@@ -259,8 +259,7 @@ def test_bidirectional_gru_scan_grads_in_train_step(monkeypatch):
     the dispatch gate open on CPU (interpret mode)."""
     from neuralmonkey_tpu.ops import kernel_config
     monkeypatch.setenv("NM_USE_PALLAS", "1")
-    kernel_config.use_pallas.cache_clear()
-    kernel_config.use_pallas_train.cache_clear()
+    kernel_config._use_pallas_cached.cache_clear()
     fw, bw = nn.GRUCell(4, 3), nn.GRUCell(4, 3)
     p = {"fw": fw.init(jax.random.PRNGKey(4)),
          "bw": bw.init(jax.random.PRNGKey(5))}
@@ -278,8 +277,7 @@ def test_bidirectional_gru_scan_grads_in_train_step(monkeypatch):
         got = jax.jit(jax.grad(lambda q: loss(q, True)))(p)
     finally:
         monkeypatch.delenv("NM_USE_PALLAS")
-        kernel_config.use_pallas.cache_clear()
-        kernel_config.use_pallas_train.cache_clear()
+        kernel_config._use_pallas_cached.cache_clear()
     for a, b in zip(jax.tree_util.tree_leaves(ref),
                     jax.tree_util.tree_leaves(got)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
