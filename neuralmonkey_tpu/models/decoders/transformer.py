@@ -52,6 +52,7 @@ class TransformerDecoder(AutoregressiveDecoder):
                  attention_dropout_keep_prob: float = 1.0,
                  supress_unk: bool = False,
                  remat: bool = False,
+                 pipeline_stages: int = 0,
                  reuse: ModelPart = None,
                  save_checkpoint: str = None,
                  load_checkpoint: str = None) -> None:
@@ -78,6 +79,14 @@ class TransformerDecoder(AutoregressiveDecoder):
         # (see TransformerEncoder.remat); the incremental decode path
         # is unaffected (no backward pass there)
         self.remat = remat
+        # GPipe pipeline parallelism for the teacher-forced pass (see
+        # TransformerEncoder.pipeline_stages); the incremental decode
+        # path indexes the stacked layers sequentially
+        self.pipeline_stages = pipeline_stages
+        if pipeline_stages > 1 and depth % pipeline_stages:
+            raise ValueError(
+                f"depth {depth} not divisible by "
+                f"{pipeline_stages} pipeline stages")
         if self.model_dim % n_heads_self or (
                 encoders and self.model_dim % n_heads_enc):
             raise ValueError("model dim must divide the head counts")
@@ -87,6 +96,7 @@ class TransformerDecoder(AutoregressiveDecoder):
     # ------------------------------------------------------------------ #
     def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         params: Dict[str, Any] = {}
+        layers = []
         for i in range(self.depth):
             rng, k_self, k_ff = jax.random.split(rng, 3)
             layer = {
@@ -103,7 +113,15 @@ class TransformerDecoder(AutoregressiveDecoder):
                 layer[f"cross_att_{e}"] = mha_init(
                     k_cross, self.model_dim, enc.state_dim,
                     self.model_dim)
-            params[f"layer_{i}"] = layer
+            layers.append(layer)
+        if self.pipeline_stages > 1:
+            # pipeline layout: stacked on a leading axis declared
+            # ('pipe', ...); see TransformerEncoder.init_params
+            params["layers"] = jax.tree_util.tree_map(
+                lambda *leaves: jnp.stack(leaves), *layers)
+        else:
+            for i, layer in enumerate(layers):
+                params[f"layer_{i}"] = layer
         params["ln_out"] = layer_norm_init(self.model_dim)
         if not self.tie_embeddings:
             rng, k_logit = jax.random.split(rng)
@@ -117,10 +135,27 @@ class TransformerDecoder(AutoregressiveDecoder):
         """Tensor-parallel layer sharding on top of the base class's
         vocab-sized logit specs: self/cross attention projections and
         the FFN shard Megatron-style over the 'model' axis (see
-        ops/attention.mha_partition_specs)."""
+        ops/attention.mha_partition_specs). With ``pipeline_stages``,
+        the stacked layer params shard their leading (layer) axis over
+        'pipe' instead."""
         from ...ops.attention import (ffn_partition_specs,
                                       mha_partition_specs)
         specs = dict(super().param_partition_specs())
+        if self.pipeline_stages > 1:
+            lns = ["ln_self", "ln_ff"] + [
+                f"ln_cross_{e}" for e in range(len(self.encoders))]
+            atts = ["self_att"] + [
+                f"cross_att_{e}" for e in range(len(self.encoders))]
+            for ln in lns:
+                for leaf in ("scale", "bias"):
+                    specs[f"layers/{ln}/{leaf}"] = ("pipe", None)
+            for sub, projs in ([(a, ("q", "k", "v", "o"))
+                                for a in atts]
+                               + [("ff", ("in", "out"))]):
+                for p in projs:
+                    specs[f"layers/{sub}/{p}/w"] = ("pipe", None, None)
+                    specs[f"layers/{sub}/{p}/b"] = ("pipe", None)
+            return specs
         for i in range(self.depth):
             specs.update(mha_partition_specs(f"layer_{i}/self_att"))
             for e in range(len(self.encoders)):
@@ -128,6 +163,14 @@ class TransformerDecoder(AutoregressiveDecoder):
                     mha_partition_specs(f"layer_{i}/cross_att_{e}"))
             specs.update(ffn_partition_specs(f"layer_{i}/ff"))
         return specs
+
+    def _layer_params(self, params, i: int):
+        """Layer ``i``'s param subtree under either layout (per-layer
+        dicts, or the pipeline's stacked leading axis)."""
+        if self.pipeline_stages > 1:
+            return jax.tree_util.tree_map(lambda a: a[i],
+                                          params["layers"])
+        return params[f"layer_{i}"]
 
     def _logits_from_states(self, params, embed_table, states):
         if self.tie_embeddings:
@@ -169,6 +212,92 @@ class TransformerDecoder(AutoregressiveDecoder):
             x + _maybe_dropout(ff_out, self.dropout_keep_prob,
                                rngs["res_ff"]))
 
+    def _train_layer_rngs(self, ctx: Context, i: int, n_enc: int):
+        """Per-layer dropout rngs for the sequential path (fixed
+        fold_in sites — the remat on/off invariant depends on this)."""
+        res_drop = ctx.train and self.dropout_keep_prob < 1.0
+        return {
+            "self_att": (ctx.make_rng(self, f"self_att_drop_{i}")
+                         if ctx.train
+                         and self.attention_dropout_keep_prob < 1.0
+                         else None),
+            "res_self": (ctx.make_rng(self, f"res_self_{i}")
+                         if res_drop else None),
+            "res_cross": [
+                (ctx.make_rng(self, f"res_cross_{i}_{e}")
+                 if res_drop else None)
+                for e in range(n_enc)],
+            "res_ff": (ctx.make_rng(self, f"res_ff_{i}")
+                       if res_drop else None),
+        }
+
+    def _pipelined_train_layers(self, ctx: Context, params, x,
+                                all_keys_mask, enc_data):
+        """Teacher-forced layer stack through the GPipe executor (see
+        TransformerEncoder._pipelined_layers); encoder states and
+        masks travel with each microbatch. Falls back to a sequential
+        loop over the stacked layout when no pipeline mesh is
+        registered or the batch does not divide."""
+        from ...parallel.pipeline import gpipe_apply, pipeline_mesh
+        mesh = pipeline_mesh()
+        batch = x.shape[0]
+        n_micro = (mesh.shape["pipe"] if mesh is not None
+                   else self.pipeline_stages)
+        dp = mesh.shape.get("data", 1) if mesh is not None else 1
+        if mesh is None or batch % n_micro or (batch // n_micro) % dp:
+            layer_fn = (jax.checkpoint(self._train_layer_fn)
+                        if self.remat and ctx.train
+                        else self._train_layer_fn)
+            for i in range(self.depth):
+                x = layer_fn(self._layer_params(params, i), x,
+                             all_keys_mask, enc_data,
+                             self._train_layer_rngs(ctx, i,
+                                                    len(enc_data)))
+            return x
+
+        att_drop = (ctx.train
+                    and self.attention_dropout_keep_prob < 1.0)
+        res_drop = ctx.train and self.dropout_keep_prob < 1.0
+        per_layer = None
+        if att_drop or res_drop:
+            sites = (["self_att", "res_self", "res_ff"]
+                     + [f"res_cross_{e}"
+                        for e in range(len(enc_data))])
+            per_layer = {
+                site: jnp.stack([
+                    ctx.make_rng(self, f"pipe_{site}_{i}")
+                    for i in range(self.depth)])
+                for site in sites}
+        mb_ord = jnp.repeat(jnp.arange(n_micro), batch // n_micro)
+
+        def layer_fn(layer_p, layer_a, h, aux):
+            if layer_a is None:
+                rngs = {"self_att": None, "res_self": None,
+                        "res_ff": None,
+                        "res_cross": [None] * len(enc_data)}
+            else:
+                mb = aux["mb"][0]
+
+                def fold(site, gate):
+                    return (jax.random.fold_in(layer_a[site], mb)
+                            if gate else None)
+                rngs = {
+                    "self_att": fold("self_att", att_drop),
+                    "res_self": fold("res_self", res_drop),
+                    "res_ff": fold("res_ff", res_drop),
+                    "res_cross": [fold(f"res_cross_{e}", res_drop)
+                                  for e in range(len(enc_data))],
+                }
+            return self._train_layer_fn(layer_p, h, aux["mask"],
+                                        aux["enc_data"], rngs)
+
+        if self.remat and ctx.train:
+            layer_fn = jax.checkpoint(layer_fn)
+        aux = {"mask": all_keys_mask, "enc_data": enc_data,
+               "mb": mb_ord}
+        return gpipe_apply(layer_fn, params["layers"], per_layer, x,
+                           aux, n_microbatches=n_micro)
+
     @tensor
     def train_logits(self, ctx: Context):
         params = ctx.get_params(self)
@@ -188,27 +317,18 @@ class TransformerDecoder(AutoregressiveDecoder):
             enc_data.append((enc.temporal_states(ctx),
                              enc.temporal_mask(ctx)))
 
-        layer_fn = (jax.checkpoint(self._train_layer_fn)
-                    if self.remat and ctx.train
-                    else self._train_layer_fn)
-        res_drop = ctx.train and self.dropout_keep_prob < 1.0
-        for i in range(self.depth):
-            rngs = {
-                "self_att": (ctx.make_rng(self, f"self_att_drop_{i}")
-                             if ctx.train
-                             and self.attention_dropout_keep_prob < 1.0
-                             else None),
-                "res_self": (ctx.make_rng(self, f"res_self_{i}")
-                             if res_drop else None),
-                "res_cross": [
-                    (ctx.make_rng(self, f"res_cross_{i}_{e}")
-                     if res_drop else None)
-                    for e in range(len(enc_data))],
-                "res_ff": (ctx.make_rng(self, f"res_ff_{i}")
-                           if res_drop else None),
-            }
-            x = layer_fn(params[f"layer_{i}"], x, all_keys_mask,
-                         enc_data, rngs)
+        if self.pipeline_stages > 1:
+            x = self._pipelined_train_layers(ctx, params, x,
+                                             all_keys_mask, enc_data)
+        else:
+            layer_fn = (jax.checkpoint(self._train_layer_fn)
+                        if self.remat and ctx.train
+                        else self._train_layer_fn)
+            for i in range(self.depth):
+                x = layer_fn(params[f"layer_{i}"], x, all_keys_mask,
+                             enc_data,
+                             self._train_layer_rngs(ctx, i,
+                                                    len(enc_data)))
 
         x = layer_norm(params["ln_out"], x)
         table = ctx.get_params(self.embeddings)["embeddings"]
@@ -247,7 +367,7 @@ class TransformerDecoder(AutoregressiveDecoder):
             enc_states = enc.temporal_states(ctx)
             per_layer = []
             for i in range(self.depth):
-                att_p = params[f"layer_{i}"][f"cross_att_{e}"]
+                att_p = self._layer_params(params, i)[f"cross_att_{e}"]
                 per_layer.append(
                     (nn.linear(att_p["k"], enc_states
                                ).astype(cache_dtype),
@@ -307,7 +427,7 @@ class TransformerDecoder(AutoregressiveDecoder):
         att_weights = None
         new_caches = []
         for i in range(self.depth):
-            layer = params[f"layer_{i}"]
+            layer = self._layer_params(params, i)
             cache = caches[i]
             normed = layer_norm(layer["ln_self"], x)
             att_p = layer["self_att"]
@@ -423,7 +543,7 @@ class TransformerDecoder(AutoregressiveDecoder):
 
         new_caches = []
         for i in range(self.depth):
-            layer = params[f"layer_{i}"]
+            layer = self._layer_params(params, i)
             cache = caches[i]
             normed = layer_norm(layer["ln_self"], x)
             att_p = layer["self_att"]

@@ -40,6 +40,7 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
                  position_encoding: str = "sinusoidal",
                  max_position: int = 512,
                  remat: bool = False,
+                 pipeline_stages: int = 0,
                  # sugar for building the input sequence inline:
                  vocabulary: Vocabulary = None,
                  data_id: str = None,
@@ -83,6 +84,15 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
         # TPU (trades ~1/3 extra FLOPs for O(depth) fewer T-sized
         # residuals). Numerics are unchanged (same ops, same rng).
         self.remat = remat
+        # GPipe pipeline parallelism (parallel/pipeline.py): layer
+        # params stack along a leading axis sharded over the 'pipe'
+        # mesh axis, and the layer loop runs as a microbatched
+        # pipeline. Requires TPUManager(num_pipeline_stages=S).
+        self.pipeline_stages = pipeline_stages
+        if pipeline_stages > 1 and depth % pipeline_stages:
+            raise ValueError(
+                f"depth {depth} not divisible by "
+                f"{pipeline_stages} pipeline stages")
 
     @property
     def state_dim(self) -> int:
@@ -98,15 +108,24 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
             rng, sub = jax.random.split(rng)
             params["position_emb"] = jax.random.normal(
                 sub, (self.max_position, self.model_dim)) * 0.01
+        layers = []
         for i in range(self.depth):
             rng, k1, k2 = jax.random.split(rng, 3)
-            params[f"layer_{i}"] = {
+            layers.append({
                 "ln_att": layer_norm_init(self.model_dim),
                 "att": mha_init(k1, self.model_dim, self.model_dim,
                                 self.model_dim),
                 "ln_ff": layer_norm_init(self.model_dim),
                 "ff": ffn_init(k2, self.model_dim, self.ff_hidden_size),
-            }
+            })
+        if self.pipeline_stages > 1:
+            # pipeline layout: layer params stacked on a leading axis
+            # (declared ('pipe', ...) — each stage holds depth/S layers)
+            params["layers"] = jax.tree_util.tree_map(
+                lambda *leaves: jnp.stack(leaves), *layers)
+        else:
+            for i, layer in enumerate(layers):
+                params[f"layer_{i}"] = layer
         params["ln_out"] = layer_norm_init(self.model_dim)
         return params
 
@@ -114,10 +133,24 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
         """Tensor-parallel layer sharding (the input sequence's
         embedding table declares its own specs). Semantics are
         unchanged by sharding — GSPMD only changes layout and inserts
-        the per-layer psums — so this is purely a scaling declaration."""
+        the per-layer psums — so this is purely a scaling declaration.
+
+        With ``pipeline_stages``, the stacked layer params instead
+        shard their leading (layer) axis over 'pipe': each stage's
+        devices hold only their own layers' weights."""
         from ...ops.attention import (ffn_partition_specs,
                                       mha_partition_specs)
         specs: Dict[str, tuple] = {}
+        if self.pipeline_stages > 1:
+            for ln in ("ln_att", "ln_ff"):
+                for leaf in ("scale", "bias"):
+                    specs[f"layers/{ln}/{leaf}"] = ("pipe", None)
+            for sub, proj in (("att", ("q", "k", "v", "o")),
+                              ("ff", ("in", "out"))):
+                for p in proj:
+                    specs[f"layers/{sub}/{p}/w"] = ("pipe", None, None)
+                    specs[f"layers/{sub}/{p}/b"] = ("pipe", None)
+            return specs
         for i in range(self.depth):
             specs.update(mha_partition_specs(f"layer_{i}/att"))
             specs.update(ffn_partition_specs(f"layer_{i}/ff"))
@@ -158,6 +191,90 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
                                 rngs["res_ff"])
         return constrain_sequence(states + ff_out)
 
+    def _layer_rngs(self, ctx: Context, i: int):
+        """Per-layer dropout rngs, drawn OUTSIDE the layer body (fixed
+        fold_in sites — the remat on/off invariant depends on this)."""
+        res_drop = ctx.train and self.dropout_keep_prob < 1.0
+        return {
+            "att": (ctx.make_rng(self, f"att_drop_{i}")
+                    if ctx.train
+                    and self.attention_dropout_keep_prob < 1.0
+                    else None),
+            "ff": (ctx.make_rng(self, f"ff_drop_{i}")
+                   if res_drop else None),
+            "res_att": (ctx.make_rng(self, f"res_drop_att_{i}")
+                        if res_drop else None),
+            "res_ff": (ctx.make_rng(self, f"res_drop_ff_{i}")
+                       if res_drop else None),
+        }
+
+    def _pipelined_layers(self, ctx: Context, params, states, mask):
+        """Run the stacked layer stack through the GPipe executor; see
+        parallel/pipeline.py. Falls back to a sequential loop over the
+        stacked layout when no pipeline mesh is registered (e.g. a
+        pipelined config opened on a single device) or the batch does
+        not divide into microbatches."""
+        from ...parallel.pipeline import gpipe_apply, pipeline_mesh
+        mesh = pipeline_mesh()
+        batch = states.shape[0]
+        n_micro = (mesh.shape["pipe"] if mesh is not None
+                   else self.pipeline_stages)
+        dp = mesh.shape.get("data", 1) if mesh is not None else 1
+        if (mesh is None or batch % n_micro
+                or (batch // n_micro) % dp):
+            layer_fn = (jax.checkpoint(self._layer_fn)
+                        if self.remat and ctx.train else self._layer_fn)
+            for i in range(self.depth):
+                layer = jax.tree_util.tree_map(
+                    lambda a, i=i: a[i], params["layers"])
+                states = layer_fn(layer, states, mask,
+                                  self._layer_rngs(ctx, i))
+            return states
+
+        att_drop = (ctx.train
+                    and self.attention_dropout_keep_prob < 1.0)
+        res_drop = ctx.train and self.dropout_keep_prob < 1.0
+        per_layer = None
+        if att_drop or res_drop:
+            # stacked per-layer keys, folded with the microbatch
+            # ordinal inside the layer so each microbatch draws its
+            # own dropout mask (a different rng layout than the
+            # sequential path — dropout is sampling either way)
+            per_layer = {
+                site: jnp.stack([
+                    ctx.make_rng(self, f"pipe_{site}_{i}")
+                    for i in range(self.depth)])
+                for site in ("att", "ff", "res_att", "res_ff")}
+        # every example carries its microbatch ordinal so the layer
+        # can recover it after the batch split
+        mb_ord = jnp.repeat(jnp.arange(n_micro), batch // n_micro)
+
+        def layer_fn(layer_p, layer_a, h, aux):
+            if layer_a is None:
+                rngs = {s: None
+                        for s in ("att", "ff", "res_att", "res_ff")}
+            else:
+                mb = aux["mb"][0]
+                rngs = {
+                    "att": (jax.random.fold_in(layer_a["att"], mb)
+                            if att_drop else None),
+                    "ff": (jax.random.fold_in(layer_a["ff"], mb)
+                           if res_drop else None),
+                    "res_att": (
+                        jax.random.fold_in(layer_a["res_att"], mb)
+                        if res_drop else None),
+                    "res_ff": (
+                        jax.random.fold_in(layer_a["res_ff"], mb)
+                        if res_drop else None),
+                }
+            return self._layer_fn(layer_p, h, aux["mask"], rngs)
+
+        if self.remat and ctx.train:
+            layer_fn = jax.checkpoint(layer_fn)
+        return gpipe_apply(layer_fn, params["layers"], per_layer,
+                           states, {"mask": mask, "mb": mb_ord},
+                           n_microbatches=n_micro)
+
     @tensor
     def temporal_states(self, ctx: Context):
         params = ctx.get_params(self)
@@ -168,23 +285,14 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
         states = ctx.dropout(self, states, self.dropout_keep_prob,
                              "input_dropout")
         states = constrain_sequence(states)
-        layer_fn = (jax.checkpoint(self._layer_fn)
-                    if self.remat and ctx.train else self._layer_fn)
-        res_drop = ctx.train and self.dropout_keep_prob < 1.0
-        for i in range(self.depth):
-            rngs = {
-                "att": (ctx.make_rng(self, f"att_drop_{i}")
-                        if ctx.train
-                        and self.attention_dropout_keep_prob < 1.0
-                        else None),
-                "ff": (ctx.make_rng(self, f"ff_drop_{i}")
-                       if res_drop else None),
-                "res_att": (ctx.make_rng(self, f"res_drop_att_{i}")
-                            if res_drop else None),
-                "res_ff": (ctx.make_rng(self, f"res_drop_ff_{i}")
-                           if res_drop else None),
-            }
-            states = layer_fn(params[f"layer_{i}"], states, mask, rngs)
+        if self.pipeline_stages > 1:
+            states = self._pipelined_layers(ctx, params, states, mask)
+        else:
+            layer_fn = (jax.checkpoint(self._layer_fn)
+                        if self.remat and ctx.train else self._layer_fn)
+            for i in range(self.depth):
+                states = layer_fn(params[f"layer_{i}"], states, mask,
+                                  self._layer_rngs(ctx, i))
 
         states = layer_norm(params["ln_out"], states)
         # zero out padding positions for clean downstream pooling

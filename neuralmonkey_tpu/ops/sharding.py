@@ -28,7 +28,7 @@ from typing import Optional
 _SEQ_MESH = None
 
 
-def enable_sequence_sharding(mesh) -> None:
+def enable_sequence_sharding(mesh: object) -> None:
     """Register the mesh whose ('data', 'model') axes the transformer
     residual stream should shard over (batch over 'data', time over
     'model')."""

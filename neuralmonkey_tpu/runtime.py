@@ -53,6 +53,7 @@ class TPUManager:
                  enable_tf_debug: bool = False,
                  num_model_shards: int = 1,
                  sequence_sharding: bool = False,
+                 num_pipeline_stages: int = 1,
                  random_seed: int = None) -> None:
         del (num_threads, gpu_allow_growth,
              per_process_gpu_memory_fraction,
@@ -71,7 +72,24 @@ class TPUManager:
         # model axis — XLA inserts the collectives from the parameter
         # shardings alone
         self.num_model_shards = num_model_shards
-        if num_model_shards > 1:
+        self.num_pipeline_stages = num_pipeline_stages
+        if num_pipeline_stages > 1 and num_model_shards > 1:
+            raise ValueError(
+                "num_pipeline_stages and num_model_shards cannot be "
+                "combined (pipeline stages run collective-free "
+                "shard_map bodies)")
+        if num_pipeline_stages > 1:
+            if self.n_devices % num_pipeline_stages:
+                raise ValueError(
+                    f"{self.n_devices} devices not divisible by "
+                    f"num_pipeline_stages={num_pipeline_stages}")
+            dp = self.n_devices // num_pipeline_stages
+            self.mesh = jax.sharding.Mesh(
+                np.array(devices).reshape(dp, num_pipeline_stages),
+                axis_names=("data", "pipe"))
+            from .parallel.pipeline import enable_pipeline
+            enable_pipeline(self.mesh)
+        elif num_model_shards > 1:
             if self.n_devices % num_model_shards:
                 raise ValueError(
                     f"{self.n_devices} devices not divisible by "
@@ -161,7 +179,7 @@ class TPUManager:
         that exist but cannot shard (wrong rank / non-divisible dim)
         replicate WITH a warning; a mesh with a model axis but zero
         effectively-sharded params also warns."""
-        if self.num_model_shards <= 1:
+        if self.num_model_shards <= 1 and self.num_pipeline_stages <= 1:
             return self.replicated
         P = jax.sharding.PartitionSpec
         declared = self._declared_partition_specs()
@@ -178,13 +196,19 @@ class TPUManager:
                 warn(f"Param '{joined}' declares partition {axes} but "
                      f"has rank {leaf.ndim}; replicating")
                 return P()
+            # specs naming mesh axes this run doesn't have (e.g.
+            # 'model' specs under a pipeline-only mesh) replicate
+            # silently on those dims
+            axes = tuple(a if (a is None or a in self.mesh.shape)
+                         else None for a in axes)
             for dim, axis in zip(leaf.shape, axes):
-                if axis == "model" and dim % self.num_model_shards:
+                if axis is not None and dim % self.mesh.shape[axis]:
                     warn(f"Param '{joined}' dim {dim} not divisible by "
-                         f"num_model_shards={self.num_model_shards}; "
-                         "replicating")
+                         f"mesh axis {axis}="
+                         f"{self.mesh.shape[axis]}; replicating")
                     return P()
-            applied["n"] += 1
+            if any(a is not None for a in axes):
+                applied["n"] += 1
             return P(*axes)
 
         shardings = jax.tree_util.tree_map_with_path(
@@ -192,8 +216,8 @@ class TPUManager:
                 self.mesh, spec_for(path, leaf)),
             params)
         if not applied["n"]:
-            warn(f"num_model_shards={self.num_model_shards} but no "
-                 "parameter declares a model-axis partition "
+            warn("mesh has a model/pipe axis but no parameter "
+                 "declares a matching partition "
                  "(param_partition_specs); everything replicates")
         return shardings
 
