@@ -366,15 +366,19 @@ def build_transformer(batch_size: int):
             return new_state, logits, aux
 
     remat = bool(int(os.environ.get("BENCH_REMAT", "0")))
+    # BENCH_MOE_EXPERTS=E turns every FFN into an E-expert MoE
+    # (ops/moe.py) for MoE train/decode throughput rows
+    moe = int(os.environ.get("BENCH_MOE_EXPERTS", "0"))
     enc = TransformerEncoder(
         name="tenc", vocabulary=vs, data_id="source",
         embedding_size=T_DIM, ff_hidden_size=T_FF, depth=T_DEPTH,
-        n_heads=T_HEADS, remat=remat)
+        n_heads=T_HEADS, remat=remat, moe_experts=moe)
     dec = FullLengthTransformerDecoder(
         name="tdec", vocabulary=vt, data_id="target",
         encoders=[enc], embedding_size=T_DIM, ff_hidden_size=T_FF,
         depth=T_DEPTH, n_heads_self=T_HEADS, n_heads_enc=T_HEADS,
-        max_output_len=MAX_OUT, label_smoothing=0.1, remat=remat)
+        max_output_len=MAX_OUT, label_smoothing=0.1, remat=remat,
+        moe_experts=moe)
     bs = BeamSearchDecoder(name="tbs", parent_decoder=dec,
                            beam_size=BEAM, length_normalization=0.6)
     parts = collect_parts([dec])

@@ -36,6 +36,11 @@ class Context:
         self.train = train
         self.rng = rng
         self._cache: Dict = {}
+        # auxiliary losses parts register during the forward pass
+        # (MoE load balancing, ...) — the functional analogue of the
+        # reference's tf.GraphKeys regularization-loss collection;
+        # GenericTrainer.total_loss folds them into the objective
+        self.aux_losses: Dict[str, Any] = {}
 
     def cached(self, part: "ModelPart", attr: str,
                fn: Callable) -> Any:
@@ -61,6 +66,17 @@ class Context:
             self._cache[cache_key] = cast_params_for_compute(
                 self.params[key])
         return self._cache[cache_key]
+
+    def add_aux_loss(self, part: "ModelPart", name: str, value) -> None:
+        """Register an auxiliary loss term (already weighted by the
+        owning part). Repeated adds under the same key accumulate —
+        though ``@tensor`` memoization means a part's forward adds its
+        terms once per trace."""
+        key = f"{part.name}/{name}"
+        if key in self.aux_losses:
+            self.aux_losses[key] = self.aux_losses[key] + value
+        else:
+            self.aux_losses[key] = value
 
     def make_rng(self, part: "ModelPart", site: str):
         """Deterministic per-(part, site) rng stream."""
@@ -210,13 +226,24 @@ def init_all_params(parts: Sequence[ModelPart], rng) -> Dict[str, Any]:
     ordering) so adding parts doesn't reshuffle other parts' initials.
     """
     params: Dict[str, Any] = {}
+    owners: Dict[str, ModelPart] = {}
     for part in parts:
         key = part.param_key
-        if key in params:
-            continue
         owner = part
         while owner.reuse is not None:
             owner = owner.reuse
+        if key in params:
+            if owners[key] is not owner:
+                # two DIFFERENT parts resolving to one param key would
+                # silently share (and the later one's structure would
+                # be whichever initialized first) — a config error;
+                # intentional sharing goes through ``reuse=``
+                raise ValueError(
+                    f"Two different model parts are named '{key}'. "
+                    "Part names must be unique; use reuse= for "
+                    "parameter sharing.")
+            continue
+        owners[key] = owner
         salt = zlib.crc32(key.encode()) & 0x7FFFFFFF
         part_rng = jax.random.fold_in(rng, salt)
         # keep empty dicts too: every part has a params entry, so

@@ -27,6 +27,7 @@ from ...ops.attention import (NEG_INF, attention_bias_from_mask,
                               merge_heads, mha_init,
                               multi_head_attention,
                               sinusoidal_position_encoding, split_heads)
+from ...ops.moe import moe_ffn, moe_init, moe_partition_specs
 from ...ops.nn import maybe_dropout as _maybe_dropout
 from ...ops.sharding import constrain_sequence
 from .autoregressive import AutoregressiveDecoder
@@ -53,6 +54,10 @@ class TransformerDecoder(AutoregressiveDecoder):
                  supress_unk: bool = False,
                  remat: bool = False,
                  pipeline_stages: int = 0,
+                 moe_experts: int = 0,
+                 moe_top_k: int = 2,
+                 moe_capacity_factor: float = 1.5,
+                 moe_aux_weight: float = 0.01,
                  reuse: ModelPart = None,
                  save_checkpoint: str = None,
                  load_checkpoint: str = None) -> None:
@@ -87,6 +92,15 @@ class TransformerDecoder(AutoregressiveDecoder):
             raise ValueError(
                 f"depth {depth} not divisible by "
                 f"{pipeline_stages} pipeline stages")
+        # mixture-of-experts FFN (ops/moe.py; see TransformerEncoder)
+        self.moe_experts = moe_experts
+        self.moe_top_k = moe_top_k
+        self.moe_capacity_factor = moe_capacity_factor
+        self.moe_aux_weight = moe_aux_weight
+        if moe_experts > 1 and pipeline_stages > 1:
+            raise ValueError(
+                "moe_experts cannot combine with pipeline_stages "
+                "(expert and pipe mesh axes are exclusive)")
         if self.model_dim % n_heads_self or (
                 encoders and self.model_dim % n_heads_enc):
             raise ValueError("model dim must divide the head counts")
@@ -104,7 +118,10 @@ class TransformerDecoder(AutoregressiveDecoder):
                 "self_att": mha_init(k_self, self.model_dim,
                                      self.model_dim, self.model_dim),
                 "ln_ff": layer_norm_init(self.model_dim),
-                "ff": ffn_init(k_ff, self.model_dim,
+                "ff": moe_init(k_ff, self.model_dim,
+                               self.ff_hidden_size, self.moe_experts)
+                if self.moe_experts > 1
+                else ffn_init(k_ff, self.model_dim,
                                self.ff_hidden_size),
             }
             for e, enc in enumerate(self.encoders):
@@ -161,8 +178,23 @@ class TransformerDecoder(AutoregressiveDecoder):
             for e in range(len(self.encoders)):
                 specs.update(
                     mha_partition_specs(f"layer_{i}/cross_att_{e}"))
-            specs.update(ffn_partition_specs(f"layer_{i}/ff"))
+            if self.moe_experts > 1:
+                specs.update(moe_partition_specs(f"layer_{i}/ff"))
+            else:
+                specs.update(ffn_partition_specs(f"layer_{i}/ff"))
         return specs
+
+    def _decode_ffn(self, layer, normed):
+        """FFN at an incremental decode step ((rows, 1, D) current
+        tokens). MoE routes the rows as one token group — with
+        batch*beam rows the per-expert capacity stays proportional —
+        and the balance loss is discarded (no training here)."""
+        if self.moe_experts > 1:
+            out, _ = moe_ffn(layer["ff"], normed.transpose(1, 0, 2),
+                             top_k=self.moe_top_k,
+                             capacity_factor=self.moe_capacity_factor)
+            return out.transpose(1, 0, 2)
+        return ffn(layer["ff"], normed)
 
     def _layer_params(self, params, i: int):
         """Layer ``i``'s param subtree under either layout (per-layer
@@ -183,7 +215,8 @@ class TransformerDecoder(AutoregressiveDecoder):
     # ------------------------------------------------------------------ #
     # teacher-forced training (fully parallel)
     # ------------------------------------------------------------------ #
-    def _train_layer_fn(self, layer, x, all_keys_mask, enc_data, rngs):
+    def _train_layer_fn(self, layer, x, all_keys_mask, enc_data, rngs,
+                        moe_mask=None):
         """One decoder layer (self-att → cross-atts → FFN) as a pure
         function of its arguments, remat-wrappable (see encoder)."""
         normed = layer_norm(layer["ln_self"], x)
@@ -207,6 +240,14 @@ class TransformerDecoder(AutoregressiveDecoder):
                 x + _maybe_dropout(cross, self.dropout_keep_prob,
                                    rngs["res_cross"][e]))
         normed = layer_norm(layer["ln_ff"], x)
+        if self.moe_experts > 1:
+            ff_out, aux = moe_ffn(
+                layer["ff"], normed, mask=moe_mask,
+                top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor)
+            return constrain_sequence(
+                x + _maybe_dropout(ff_out, self.dropout_keep_prob,
+                                   rngs["res_ff"])), aux
         ff_out = ffn(layer["ff"], normed)
         return constrain_sequence(
             x + _maybe_dropout(ff_out, self.dropout_keep_prob,
@@ -324,11 +365,26 @@ class TransformerDecoder(AutoregressiveDecoder):
             layer_fn = (jax.checkpoint(self._train_layer_fn)
                         if self.remat and ctx.train
                         else self._train_layer_fn)
+            # padding tokens are excluded from MoE routing (capacity
+            # slots and the balance loss track real tokens only)
+            moe_mask = (self.train_mask(ctx)
+                        if self.moe_experts > 1 else None)
+            aux_total = 0.0
             for i in range(self.depth):
-                x = layer_fn(params[f"layer_{i}"], x, all_keys_mask,
-                             enc_data,
-                             self._train_layer_rngs(ctx, i,
-                                                    len(enc_data)))
+                out = layer_fn(params[f"layer_{i}"], x, all_keys_mask,
+                               enc_data,
+                               self._train_layer_rngs(ctx, i,
+                                                      len(enc_data)),
+                               moe_mask)
+                if self.moe_experts > 1:
+                    x, aux = out
+                    aux_total = aux_total + aux
+                else:
+                    x = out
+            if self.moe_experts > 1 and ctx.train:
+                ctx.add_aux_loss(
+                    self, "moe_balance",
+                    self.moe_aux_weight * aux_total / self.depth)
 
         x = layer_norm(params["ln_out"], x)
         table = ctx.get_params(self.embeddings)["embeddings"]
@@ -474,7 +530,7 @@ class TransformerDecoder(AutoregressiveDecoder):
                     att_weights = jnp.mean(w[:, :, 0, :], axis=1)
                 x = x + nn.linear(att_p["o"], merge_heads(cross))
             normed = layer_norm(layer["ln_ff"], x)
-            x = x + ffn(layer["ff"], normed)
+            x = x + self._decode_ffn(layer, normed)
 
         x = layer_norm(params["ln_out"], x)[:, 0, :]  # (B, D)
         logits = self._logits_from_states(params, table, x)
@@ -608,7 +664,7 @@ class TransformerDecoder(AutoregressiveDecoder):
                 cross = cross.reshape(rows, 1, self.model_dim)
                 x = x + nn.linear(att_p["o"], cross)
             normed = layer_norm(layer["ln_ff"], x)
-            x = x + ffn(layer["ff"], normed)
+            x = x + self._decode_ffn(layer, normed)
 
         x = layer_norm(params["ln_out"], x)[:, 0, :]
         logits = self._logits_from_states(params, table, x)

@@ -21,6 +21,7 @@ from ...ops.attention import (attention_bias_from_mask, ffn, ffn_init,
                               layer_norm, layer_norm_init, mha_init,
                               multi_head_attention,
                               sinusoidal_position_encoding)
+from ...ops.moe import moe_ffn, moe_init, moe_partition_specs
 from ...ops.sharding import constrain_sequence
 from ...vocabulary import Vocabulary
 
@@ -41,6 +42,10 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
                  max_position: int = 512,
                  remat: bool = False,
                  pipeline_stages: int = 0,
+                 moe_experts: int = 0,
+                 moe_top_k: int = 2,
+                 moe_capacity_factor: float = 1.5,
+                 moe_aux_weight: float = 0.01,
                  # sugar for building the input sequence inline:
                  vocabulary: Vocabulary = None,
                  data_id: str = None,
@@ -93,6 +98,17 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
             raise ValueError(
                 f"depth {depth} not divisible by "
                 f"{pipeline_stages} pipeline stages")
+        # mixture-of-experts FFN (ops/moe.py): every layer's FFN
+        # becomes E expert FFNs + a router; expert weights declare
+        # ('expert', ...) partition specs for expert parallelism
+        self.moe_experts = moe_experts
+        self.moe_top_k = moe_top_k
+        self.moe_capacity_factor = moe_capacity_factor
+        self.moe_aux_weight = moe_aux_weight
+        if moe_experts > 1 and pipeline_stages > 1:
+            raise ValueError(
+                "moe_experts cannot combine with pipeline_stages "
+                "(expert and pipe mesh axes are exclusive)")
 
     @property
     def state_dim(self) -> int:
@@ -116,7 +132,11 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
                 "att": mha_init(k1, self.model_dim, self.model_dim,
                                 self.model_dim),
                 "ln_ff": layer_norm_init(self.model_dim),
-                "ff": ffn_init(k2, self.model_dim, self.ff_hidden_size),
+                "ff": (moe_init(k2, self.model_dim,
+                                self.ff_hidden_size, self.moe_experts)
+                       if self.moe_experts > 1
+                       else ffn_init(k2, self.model_dim,
+                                     self.ff_hidden_size)),
             })
         if self.pipeline_stages > 1:
             # pipeline layout: layer params stacked on a leading axis
@@ -153,7 +173,10 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
             return specs
         for i in range(self.depth):
             specs.update(mha_partition_specs(f"layer_{i}/att"))
-            specs.update(ffn_partition_specs(f"layer_{i}/ff"))
+            if self.moe_experts > 1:
+                specs.update(moe_partition_specs(f"layer_{i}/ff"))
+            else:
+                specs.update(ffn_partition_specs(f"layer_{i}/ff"))
         return specs
 
     # ------------------------------------------------------------------ #
@@ -185,6 +208,16 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
         states = constrain_sequence(states + att_out)
 
         normed = layer_norm(layer["ln_ff"], states)
+        if self.moe_experts > 1:
+            ff_out, aux = moe_ffn(
+                layer["ff"], normed, mask=mask,
+                top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                dropout_rng=rngs["ff"],
+                dropout_keep_prob=self.dropout_keep_prob)
+            ff_out = _maybe_dropout(ff_out, self.dropout_keep_prob,
+                                    rngs["res_ff"])
+            return constrain_sequence(states + ff_out), aux
         ff_out = ffn(layer["ff"], normed, dropout_rng=rngs["ff"],
                      dropout_keep_prob=self.dropout_keep_prob)
         ff_out = _maybe_dropout(ff_out, self.dropout_keep_prob,
@@ -290,9 +323,19 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
         else:
             layer_fn = (jax.checkpoint(self._layer_fn)
                         if self.remat and ctx.train else self._layer_fn)
+            aux_total = 0.0
             for i in range(self.depth):
-                states = layer_fn(params[f"layer_{i}"], states, mask,
-                                  self._layer_rngs(ctx, i))
+                out = layer_fn(params[f"layer_{i}"], states, mask,
+                               self._layer_rngs(ctx, i))
+                if self.moe_experts > 1:
+                    states, aux = out
+                    aux_total = aux_total + aux
+                else:
+                    states = out
+            if self.moe_experts > 1 and ctx.train:
+                ctx.add_aux_loss(
+                    self, "moe_balance",
+                    self.moe_aux_weight * aux_total / self.depth)
 
         states = layer_norm(params["ln_out"], states)
         # zero out padding positions for clean downstream pooling

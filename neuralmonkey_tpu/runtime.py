@@ -54,6 +54,7 @@ class TPUManager:
                  num_model_shards: int = 1,
                  sequence_sharding: bool = False,
                  num_pipeline_stages: int = 1,
+                 num_expert_shards: int = 1,
                  random_seed: int = None) -> None:
         del (num_threads, gpu_allow_growth,
              per_process_gpu_memory_fraction,
@@ -73,12 +74,29 @@ class TPUManager:
         # shardings alone
         self.num_model_shards = num_model_shards
         self.num_pipeline_stages = num_pipeline_stages
+        self.num_expert_shards = num_expert_shards
         if num_pipeline_stages > 1 and num_model_shards > 1:
             raise ValueError(
                 "num_pipeline_stages and num_model_shards cannot be "
                 "combined (pipeline stages run collective-free "
                 "shard_map bodies)")
-        if num_pipeline_stages > 1:
+        if num_expert_shards > 1 and (num_pipeline_stages > 1
+                                      or num_model_shards > 1):
+            raise ValueError(
+                "num_expert_shards cannot combine with "
+                "num_model_shards or num_pipeline_stages")
+        if num_expert_shards > 1:
+            if self.n_devices % num_expert_shards:
+                raise ValueError(
+                    f"{self.n_devices} devices not divisible by "
+                    f"num_expert_shards={num_expert_shards}")
+            dp = self.n_devices // num_expert_shards
+            self.mesh = jax.sharding.Mesh(
+                np.array(devices).reshape(dp, num_expert_shards),
+                axis_names=("data", "expert"))
+            from .ops.moe import enable_expert_sharding
+            enable_expert_sharding(self.mesh)
+        elif num_pipeline_stages > 1:
             if self.n_devices % num_pipeline_stages:
                 raise ValueError(
                     f"{self.n_devices} devices not divisible by "
@@ -179,7 +197,8 @@ class TPUManager:
         that exist but cannot shard (wrong rank / non-divisible dim)
         replicate WITH a warning; a mesh with a model axis but zero
         effectively-sharded params also warns."""
-        if self.num_model_shards <= 1 and self.num_pipeline_stages <= 1:
+        if (self.num_model_shards <= 1 and self.num_pipeline_stages <= 1
+                and self.num_expert_shards <= 1):
             return self.replicated
         P = jax.sharding.PartitionSpec
         declared = self._declared_partition_specs()
@@ -216,7 +235,7 @@ class TPUManager:
                 self.mesh, spec_for(path, leaf)),
             params)
         if not applied["n"]:
-            warn("mesh has a model/pipe axis but no parameter "
+            warn("mesh has a model/pipe/expert axis but no parameter "
                  "declares a matching partition "
                  "(param_partition_specs); everything replicates")
         return shardings

@@ -76,8 +76,16 @@ class GenericTrainer:
 
     def total_loss(self, params: Any, batch: Dict[str, Any], rng: Any):
         """Returns (scalar total, per-objective dict)."""
-        losses = self.losses(params, batch, rng)
+        ctx = Context(params, batch, train=True, rng=rng)
+        losses = {}
+        for objective in self.objectives:
+            losses[objective.name] = objective.loss(ctx)
         total = sum(o.weight * losses[o.name] for o in self.objectives)
+        # auxiliary losses parts registered during the forward pass
+        # (MoE balance terms etc.; pre-weighted by their owners)
+        for key, value in ctx.aux_losses.items():
+            total = total + value
+            losses[f"aux/{key}"] = value
         if self.l1_weight or self.l2_weight:
             leaves = jax.tree_util.tree_leaves(self._trainable(params))
             if self.l1_weight:

@@ -121,3 +121,11 @@ def test_vocab_ini(tmp_path):
     _, val = _train("vocab.ini", str(tmp_path / "vocab"))
     assert val
     assert "target/BLEU-4" in val[-1]
+
+
+def test_moe_ini(tmp_path):
+    """Mixture-of-experts transformer (ops/moe.py): router + 4 expert
+    FFNs per layer, Switch balance loss folded into the objective."""
+    _, val = _train("moe.ini", str(tmp_path / "moe"))
+    assert val
+    assert "target/BLEU-4" in val[-1]

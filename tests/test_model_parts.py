@@ -238,3 +238,16 @@ def test_embeddings_shared_with_decoder(setup):
     assert "dec_embeddings" not in names
     params = init_all_params(parts, jax.random.PRNGKey(0))
     assert "logit" not in params["dec"]  # tied => no separate logit W
+
+
+def test_duplicate_part_names_rejected(setup):
+    """Two DIFFERENT parts with one name would silently share (the
+    first one's structure wins) — must raise instead; intentional
+    sharing goes through reuse=."""
+    vs, _, _ = setup
+    e1 = EmbeddedSequence(name="emb", vocabulary=vs,
+                          data_id="source", embedding_size=6)
+    e2 = EmbeddedSequence(name="emb", vocabulary=vs,
+                          data_id="source", embedding_size=8)
+    with pytest.raises(ValueError, match="named 'emb'"):
+        init_all_params(collect_parts([e1, e2]), jax.random.PRNGKey(0))
