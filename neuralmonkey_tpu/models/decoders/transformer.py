@@ -54,6 +54,7 @@ class TransformerDecoder(AutoregressiveDecoder):
                  supress_unk: bool = False,
                  remat: bool = False,
                  pipeline_stages: int = 0,
+                 pipeline_microbatches: int = 0,
                  moe_experts: int = 0,
                  moe_top_k: int = 2,
                  moe_capacity_factor: float = 1.5,
@@ -92,6 +93,13 @@ class TransformerDecoder(AutoregressiveDecoder):
             raise ValueError(
                 f"depth {depth} not divisible by "
                 f"{pipeline_stages} pipeline stages")
+        # microbatch count M (see TransformerEncoder)
+        self.pipeline_microbatches = pipeline_microbatches
+        if pipeline_microbatches and pipeline_microbatches < \
+                pipeline_stages:
+            raise ValueError(
+                f"pipeline_microbatches={pipeline_microbatches} must "
+                f"be >= pipeline_stages={pipeline_stages}")
         # mixture-of-experts FFN (ops/moe.py; see TransformerEncoder)
         self.moe_experts = moe_experts
         self.moe_top_k = moe_top_k
@@ -282,8 +290,9 @@ class TransformerDecoder(AutoregressiveDecoder):
         from ...parallel.pipeline import gpipe_apply, pipeline_mesh
         mesh = pipeline_mesh()
         batch = x.shape[0]
-        n_micro = (mesh.shape["pipe"] if mesh is not None
-                   else self.pipeline_stages)
+        n_micro = self.pipeline_microbatches or (
+            mesh.shape["pipe"] if mesh is not None
+            else self.pipeline_stages)
         dp = mesh.shape.get("data", 1) if mesh is not None else 1
         if mesh is None or batch % n_micro or (batch // n_micro) % dp:
             layer_fn = (jax.checkpoint(self._train_layer_fn)

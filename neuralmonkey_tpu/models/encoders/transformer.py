@@ -42,6 +42,7 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
                  max_position: int = 512,
                  remat: bool = False,
                  pipeline_stages: int = 0,
+                 pipeline_microbatches: int = 0,
                  moe_experts: int = 0,
                  moe_top_k: int = 2,
                  moe_capacity_factor: float = 1.5,
@@ -98,6 +99,15 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
             raise ValueError(
                 f"depth {depth} not divisible by "
                 f"{pipeline_stages} pipeline stages")
+        # microbatch count M (default = stage count S); larger M
+        # shrinks the GPipe bubble (S-1)/(M+S-1) at the cost of
+        # smaller per-tick matmuls
+        self.pipeline_microbatches = pipeline_microbatches
+        if pipeline_microbatches and pipeline_microbatches < \
+                pipeline_stages:
+            raise ValueError(
+                f"pipeline_microbatches={pipeline_microbatches} must "
+                f"be >= pipeline_stages={pipeline_stages}")
         # mixture-of-experts FFN (ops/moe.py): every layer's FFN
         # becomes E expert FFNs + a router; expert weights declare
         # ('expert', ...) partition specs for expert parallelism
@@ -250,8 +260,9 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
         from ...parallel.pipeline import gpipe_apply, pipeline_mesh
         mesh = pipeline_mesh()
         batch = states.shape[0]
-        n_micro = (mesh.shape["pipe"] if mesh is not None
-                   else self.pipeline_stages)
+        n_micro = self.pipeline_microbatches or (
+            mesh.shape["pipe"] if mesh is not None
+            else self.pipeline_stages)
         dp = mesh.shape.get("data", 1) if mesh is not None else 1
         if (mesh is None or batch % n_micro
                 or (batch // n_micro) % dp):

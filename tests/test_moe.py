@@ -267,3 +267,31 @@ def test_moe_beam_search_decodes():
                                     batch_size=16)[0].outputs
     assert len(beam_out) == 16
     assert all(isinstance(s, list) for s in beam_out)
+
+
+def test_moe_composes_with_remat():
+    """remat=True wraps MoE layers in jax.checkpoint (tuple-returning
+    layer fns); losses must match the non-remat run exactly at f32
+    tolerance (same ops, same rng sites)."""
+    ds = _toy_dataset()
+    res = {}
+    for remat in (False, True):
+        enc = TransformerEncoder(
+            name="mr_src", vocabulary=_vocab(), data_id="source",
+            embedding_size=16, ff_hidden_size=32, depth=2, n_heads=4,
+            moe_experts=4, remat=remat)
+        dec = TransformerDecoder(
+            name="mr_tgt", vocabulary=_vocab(), data_id="target",
+            encoders=[enc], embedding_size=16, ff_hidden_size=32,
+            depth=2, n_heads_self=4, n_heads_enc=4, max_output_len=6,
+            tie_embeddings=False, moe_experts=4, remat=remat)
+        trainer = CrossEntropyTrainer(
+            decoders=[dec], clip_norm=1.0,
+            optimizer=AdamOptimizer(learning_rate=1e-3))
+        manager = TPUManager(random_seed=0)
+        manager.initialize_model_parts([trainer], seed=0)
+        res[remat] = [
+            manager.train_on_batch(trainer, ds, batch_size=16)["loss"]
+            for _ in range(2)]
+    assert res[False][0] == pytest.approx(res[True][0], rel=1e-5)
+    assert res[False][1] == pytest.approx(res[True][1], rel=1e-5)

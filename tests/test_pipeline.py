@@ -187,3 +187,40 @@ def test_pipeline_rejects_indivisible_depth():
         TransformerEncoder(
             name="bad", vocabulary=_vocab(), data_id="source",
             embedding_size=16, depth=5, n_heads=4, pipeline_stages=4)
+
+
+def test_pipelined_more_microbatches_than_stages():
+    """pipeline_microbatches=M > S shrinks the GPipe bubble; the math
+    must stay exactly the sequential stack's."""
+    ds = _toy_dataset()
+    res = {}
+    for stages, micro in ((0, 0), (4, 8)):
+        enc = TransformerEncoder(
+            name="pm_src", vocabulary=_vocab(), data_id="source",
+            embedding_size=16, ff_hidden_size=32, depth=4, n_heads=4,
+            dropout_keep_prob=1.0, pipeline_stages=stages,
+            pipeline_microbatches=micro)
+        dec = TransformerDecoder(
+            name="pm_tgt", vocabulary=_vocab(), data_id="target",
+            encoders=[enc], embedding_size=16, ff_hidden_size=32,
+            depth=4, n_heads_self=4, n_heads_enc=4, max_output_len=6,
+            tie_embeddings=False, dropout_keep_prob=1.0,
+            pipeline_stages=stages, pipeline_microbatches=micro)
+        trainer = CrossEntropyTrainer(
+            decoders=[dec], clip_norm=1.0,
+            optimizer=AdamOptimizer(learning_rate=1e-3))
+        manager = TPUManager(
+            num_pipeline_stages=stages if stages else 1, random_seed=0)
+        manager.initialize_model_parts([trainer], seed=0)
+        loss = manager.train_on_batch(trainer, ds, batch_size=16)["loss"]
+        res[stages] = loss
+        disable_pipeline()
+    assert res[0] == pytest.approx(res[4], rel=1e-5)
+
+
+def test_pipeline_rejects_fewer_microbatches_than_stages():
+    with pytest.raises(ValueError):
+        TransformerEncoder(
+            name="bad_m", vocabulary=_vocab(), data_id="source",
+            embedding_size=16, depth=4, n_heads=4,
+            pipeline_stages=4, pipeline_microbatches=2)
