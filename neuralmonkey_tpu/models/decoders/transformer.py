@@ -167,6 +167,8 @@ class TransformerDecoder(AutoregressiveDecoder):
                                       mha_partition_specs)
         specs = dict(super().param_partition_specs())
         if self.pipeline_stages > 1:
+            # stacked layout with the Megatron 'model' pattern on the
+            # trailing dims so PP composes with TP (see the encoder)
             lns = ["ln_self", "ln_ff"] + [
                 f"ln_cross_{e}" for e in range(len(self.encoders))]
             atts = ["self_att"] + [
@@ -174,11 +176,16 @@ class TransformerDecoder(AutoregressiveDecoder):
             for ln in lns:
                 for leaf in ("scale", "bias"):
                     specs[f"layers/{ln}/{leaf}"] = ("pipe", None)
-            for sub, projs in ([(a, ("q", "k", "v", "o"))
-                                for a in atts]
-                               + [("ff", ("in", "out"))]):
-                for p in projs:
-                    specs[f"layers/{sub}/{p}/w"] = ("pipe", None, None)
+            for sub, cols, rows in (
+                    [(a, ("q", "k", "v"), ("o",)) for a in atts]
+                    + [("ff", ("in",), ("out",))]):
+                for p in cols:
+                    specs[f"layers/{sub}/{p}/w"] = \
+                        ("pipe", None, "model")
+                    specs[f"layers/{sub}/{p}/b"] = ("pipe", "model")
+                for p in rows:
+                    specs[f"layers/{sub}/{p}/w"] = \
+                        ("pipe", "model", None)
                     specs[f"layers/{sub}/{p}/b"] = ("pipe", None)
             return specs
         for i in range(self.depth):

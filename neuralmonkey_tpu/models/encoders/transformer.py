@@ -172,13 +172,21 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
                                       mha_partition_specs)
         specs: Dict[str, tuple] = {}
         if self.pipeline_stages > 1:
+            # stacked layout: leading (layer) axis over 'pipe'; the
+            # trailing dims keep the Megatron 'model' pattern so PP
+            # composes with TP (the runtime drops axes the mesh lacks)
             for ln in ("ln_att", "ln_ff"):
                 for leaf in ("scale", "bias"):
                     specs[f"layers/{ln}/{leaf}"] = ("pipe", None)
-            for sub, proj in (("att", ("q", "k", "v", "o")),
-                              ("ff", ("in", "out"))):
-                for p in proj:
-                    specs[f"layers/{sub}/{p}/w"] = ("pipe", None, None)
+            for sub, cols, rows in (("att", ("q", "k", "v"), ("o",)),
+                                    ("ff", ("in",), ("out",))):
+                for p in cols:  # output columns sharded
+                    specs[f"layers/{sub}/{p}/w"] = \
+                        ("pipe", None, "model")
+                    specs[f"layers/{sub}/{p}/b"] = ("pipe", "model")
+                for p in rows:  # input rows sharded, psum after
+                    specs[f"layers/{sub}/{p}/w"] = \
+                        ("pipe", "model", None)
                     specs[f"layers/{sub}/{p}/b"] = ("pipe", None)
             return specs
         for i in range(self.depth):

@@ -159,23 +159,39 @@ def gpipe_apply(layer_fn: Callable,
             jnp.where(stage == n_stages - 1, outs,
                       jnp.zeros_like(outs)), "pipe")
 
-    mb_aux_specs = jax.tree_util.tree_map(lambda _: mb_spec, mb_aux_mb)
+    stack_specs = jax.tree_util.tree_map(lambda _: stack_spec,
+                                         stacked_params)
     aux_specs = jax.tree_util.tree_map(lambda _: stack_spec,
                                        per_layer_aux)
-    spec_kwargs = dict(
-        mesh=mesh,
-        in_specs=(jax.tree_util.tree_map(lambda _: stack_spec,
-                                         stacked_params),
-                  aux_specs, mb_spec, mb_aux_specs),
-        out_specs=mb_spec)
     # replication checking off: the masked psum that replicates the
     # last stage's outputs across 'pipe' is exact but opaque to the
     # static replication checker
     sm = getattr(jax, "shard_map", None)
     if sm is not None:
-        wrapped = sm(per_device, check_vma=False, **spec_kwargs)
-    else:  # older jax spells it check_rep under jax.experimental
+        # partial-auto: ONLY 'pipe' is manual. Batch sharding over
+        # 'data' and any Megatron 'model'-axis sharding of the layer
+        # weights' trailing dims stay GSPMD-managed inside the stage
+        # body, so the pipeline composes with DP and TP transparently
+        # (XLA inserts the TP psums per tick from the param shardings
+        # alone).
+        plain = P()
+        wrapped = sm(
+            per_device, mesh=mesh,
+            in_specs=(stack_specs, aux_specs, plain,
+                      jax.tree_util.tree_map(lambda _: plain,
+                                             mb_aux_mb)),
+            out_specs=plain, axis_names={"pipe"}, check_vma=False)
+    else:
+        # older jax: fully-manual fallback. No TP composition, and
+        # dropout inside the body samples per-device shapes with an
+        # unfolded key — masks repeat across data shards (the
+        # partial-auto path above samples the global shape instead).
         from jax.experimental.shard_map import shard_map
-        wrapped = shard_map(per_device, check_rep=False, **spec_kwargs)
+        mb_aux_specs = jax.tree_util.tree_map(lambda _: mb_spec,
+                                              mb_aux_mb)
+        wrapped = shard_map(
+            per_device, mesh=mesh,
+            in_specs=(stack_specs, aux_specs, mb_spec, mb_aux_specs),
+            out_specs=mb_spec, check_rep=False)
     out = wrapped(stacked_params, per_layer_aux, x_mb, mb_aux_mb)
     return out.reshape((batch,) + out.shape[2:])

@@ -75,11 +75,11 @@ class TPUManager:
         self.num_model_shards = num_model_shards
         self.num_pipeline_stages = num_pipeline_stages
         self.num_expert_shards = num_expert_shards
-        if num_pipeline_stages > 1 and num_model_shards > 1:
+        if num_pipeline_stages > 1 and num_model_shards > 1 \
+                and not hasattr(jax, "shard_map"):
             raise ValueError(
-                "num_pipeline_stages and num_model_shards cannot be "
-                "combined (pipeline stages run collective-free "
-                "shard_map bodies)")
+                "num_pipeline_stages + num_model_shards needs "
+                "partial-auto jax.shard_map (jax >= 0.4.32)")
         if num_expert_shards > 1 and (num_pipeline_stages > 1
                                       or num_model_shards > 1):
             raise ValueError(
@@ -97,14 +97,24 @@ class TPUManager:
             from .ops.moe import enable_expert_sharding
             enable_expert_sharding(self.mesh)
         elif num_pipeline_stages > 1:
-            if self.n_devices % num_pipeline_stages:
+            span = num_pipeline_stages * num_model_shards
+            if self.n_devices % span:
                 raise ValueError(
                     f"{self.n_devices} devices not divisible by "
-                    f"num_pipeline_stages={num_pipeline_stages}")
-            dp = self.n_devices // num_pipeline_stages
-            self.mesh = jax.sharding.Mesh(
-                np.array(devices).reshape(dp, num_pipeline_stages),
-                axis_names=("data", "pipe"))
+                    f"num_pipeline_stages*num_model_shards={span}")
+            dp = self.n_devices // span
+            if num_model_shards > 1:
+                # PP x TP: the pipeline's shard_map keeps only 'pipe'
+                # manual, so the Megatron 'model' shardings stay
+                # GSPMD-managed inside each stage body
+                self.mesh = jax.sharding.Mesh(
+                    np.array(devices).reshape(
+                        dp, num_pipeline_stages, num_model_shards),
+                    axis_names=("data", "pipe", "model"))
+            else:
+                self.mesh = jax.sharding.Mesh(
+                    np.array(devices).reshape(dp, num_pipeline_stages),
+                    axis_names=("data", "pipe"))
             from .parallel.pipeline import enable_pipeline
             enable_pipeline(self.mesh)
         elif num_model_shards > 1:
@@ -137,7 +147,12 @@ class TPUManager:
             # between blocks (see ops/sharding.py). Purely a layout
             # constraint — GSPMD swaps the tensor-parallel psums for
             # all-gather/reduce-scatter pairs around each block.
-            if num_model_shards > 1:
+            if num_pipeline_stages > 1:
+                warn("sequence_sharding=True cannot combine with "
+                     "num_pipeline_stages (the residual-stream "
+                     "constraint would sit inside the pipeline's "
+                     "shard_map body); ignoring")
+            elif num_model_shards > 1:
                 from .ops.sharding import enable_sequence_sharding
                 enable_sequence_sharding(self.mesh)
                 log("Sequence parallelism: residual-stream time axis "

@@ -177,9 +177,14 @@ def test_pipelined_config_falls_back_without_mesh():
     assert loss == pytest.approx(loss2, rel=1e-5)
 
 
-def test_pipeline_rejects_model_shards_combination():
-    with pytest.raises(ValueError):
-        TPUManager(num_pipeline_stages=4, num_model_shards=2)
+def test_pipeline_model_shards_combination_builds_3d_mesh():
+    """PP + TP is supported (partial-auto shard_map): the manager
+    builds a ('data', 'pipe', 'model') mesh."""
+    manager = TPUManager(num_pipeline_stages=4, num_model_shards=2)
+    assert dict(manager.mesh.shape) == {"data": 1, "pipe": 4,
+                                        "model": 2}
+    with pytest.raises(ValueError):  # 4*3 does not divide 8 devices
+        TPUManager(num_pipeline_stages=4, num_model_shards=3)
 
 
 def test_pipeline_rejects_indivisible_depth():
@@ -224,3 +229,34 @@ def test_pipeline_rejects_fewer_microbatches_than_stages():
             name="bad_m", vocabulary=_vocab(), data_id="source",
             embedding_size=16, depth=4, n_heads=4,
             pipeline_stages=4, pipeline_microbatches=2)
+
+
+def test_pipeline_composes_with_tensor_parallelism():
+    """PP x TP on a (data=2, pipe=2, model=2) mesh: the pipeline's
+    shard_map keeps only 'pipe' manual, so the Megatron 'model'
+    shardings of each stage's layer weights stay GSPMD-managed inside
+    the stage body. Losses and decodes must match the fully-replicated
+    sequential run."""
+    ds = _toy_dataset()
+    res = {}
+    for parallel in (False, True):
+        trainer, runner = _build(2 if parallel else 0)
+        manager = TPUManager(
+            num_pipeline_stages=2 if parallel else 1,
+            num_model_shards=2 if parallel else 1, random_seed=0)
+        manager.initialize_model_parts([trainer, runner], seed=0)
+        if parallel:
+            assert dict(manager.mesh.shape) == {
+                "data": 2, "pipe": 2, "model": 2}
+            qw = manager.params["pp_src"]["layers"]["att"]["q"]["w"]
+            # (4 layers, 16, 16) -> 2 layers per stage, cols over TP
+            assert qw.sharding.shard_shape(qw.shape) == (2, 16, 8)
+        l1 = manager.train_on_batch(trainer, ds, batch_size=16)["loss"]
+        l2 = manager.train_on_batch(trainer, ds, batch_size=16)["loss"]
+        outs = manager.run_on_batch([runner], ds,
+                                    batch_size=16)[0].outputs
+        res[parallel] = (l1, l2, outs)
+        disable_pipeline()
+    assert res[False][0] == pytest.approx(res[True][0], rel=1e-5)
+    assert res[False][1] == pytest.approx(res[True][1], rel=1e-5)
+    assert res[False][2] == res[True][2]
