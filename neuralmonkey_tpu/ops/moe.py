@@ -90,11 +90,14 @@ def moe_init(rng, model_dim: int, hidden_dim: int,
 def moe_partition_specs(prefix: str) -> Dict[str, tuple]:
     """Expert-parallel specs for a ``moe_init`` subtree: expert
     weights split their leading (expert) axis over the 'expert' mesh
-    axis; the router replicates (every device routes its own
-    tokens)."""
-    return {f"{prefix}/in/w": ("expert", None, None),
-            f"{prefix}/in/b": ("expert", None),
-            f"{prefix}/out/w": ("expert", None, None),
+    axis; the router replicates (every device routes its own tokens).
+    The hidden dim additionally carries the Megatron 'model' pattern
+    (in-columns / out-rows) so EP composes with TP on a
+    ('data', 'expert', 'model') mesh — the runtime drops axes the
+    mesh lacks."""
+    return {f"{prefix}/in/w": ("expert", None, "model"),
+            f"{prefix}/in/b": ("expert", "model"),
+            f"{prefix}/out/w": ("expert", "model", None),
             f"{prefix}/out/b": ("expert", None)}
 
 

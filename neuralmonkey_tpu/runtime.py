@@ -80,20 +80,29 @@ class TPUManager:
             raise ValueError(
                 "num_pipeline_stages + num_model_shards needs "
                 "partial-auto jax.shard_map (jax >= 0.4.32)")
-        if num_expert_shards > 1 and (num_pipeline_stages > 1
-                                      or num_model_shards > 1):
+        if num_expert_shards > 1 and num_pipeline_stages > 1:
             raise ValueError(
                 "num_expert_shards cannot combine with "
-                "num_model_shards or num_pipeline_stages")
+                "num_pipeline_stages")
         if num_expert_shards > 1:
-            if self.n_devices % num_expert_shards:
+            span = num_expert_shards * num_model_shards
+            if self.n_devices % span:
                 raise ValueError(
                     f"{self.n_devices} devices not divisible by "
-                    f"num_expert_shards={num_expert_shards}")
-            dp = self.n_devices // num_expert_shards
-            self.mesh = jax.sharding.Mesh(
-                np.array(devices).reshape(dp, num_expert_shards),
-                axis_names=("data", "expert"))
+                    f"num_expert_shards*num_model_shards={span}")
+            dp = self.n_devices // span
+            if num_model_shards > 1:
+                # EP x TP: experts over 'expert', each expert's hidden
+                # dim Megatron-sharded over 'model' (all GSPMD — no
+                # manual regions anywhere in the MoE path)
+                self.mesh = jax.sharding.Mesh(
+                    np.array(devices).reshape(
+                        dp, num_expert_shards, num_model_shards),
+                    axis_names=("data", "expert", "model"))
+            else:
+                self.mesh = jax.sharding.Mesh(
+                    np.array(devices).reshape(dp, num_expert_shards),
+                    axis_names=("data", "expert"))
             from .ops.moe import enable_expert_sharding
             enable_expert_sharding(self.mesh)
         elif num_pipeline_stages > 1:

@@ -241,7 +241,35 @@ def test_moe_rejects_pipeline_combination():
             embedding_size=16, depth=4, n_heads=4,
             moe_experts=4, pipeline_stages=2)
     with pytest.raises(ValueError):
-        TPUManager(num_expert_shards=4, num_model_shards=2)
+        TPUManager(num_expert_shards=4, num_pipeline_stages=2)
+
+
+def test_moe_expert_parallel_composes_with_tensor_parallelism():
+    """EP x TP on a (data=2, expert=2, model=2) mesh: experts shard
+    over 'expert', each expert's hidden dim Megatron-shards over
+    'model' (and the attention/embedding TP specs apply as usual).
+    Pure GSPMD — results match the replicated run exactly."""
+    ds = _toy_dataset()
+    res = {}
+    for parallel in (False, True):
+        trainer, runner = _build_moe()
+        manager = TPUManager(
+            num_expert_shards=2 if parallel else 1,
+            num_model_shards=2 if parallel else 1, random_seed=0)
+        manager.initialize_model_parts([trainer, runner], seed=0)
+        if parallel:
+            assert dict(manager.mesh.shape) == {
+                "data": 2, "expert": 2, "model": 2}
+            w = manager.params["moe_src"]["layer_0"]["ff"]["in"]["w"]
+            # (4 experts, 16, 32): 2 experts per group, hidden halved
+            assert w.sharding.shard_shape(w.shape) == (2, 16, 16)
+        l1 = manager.train_on_batch(trainer, ds, batch_size=16)["loss"]
+        outs = manager.run_on_batch([runner], ds,
+                                    batch_size=16)[0].outputs
+        res[parallel] = (l1, outs)
+        disable_expert_sharding()
+    assert res[False][0] == pytest.approx(res[True][0], rel=1e-5)
+    assert res[False][1] == res[True][1]
 
 
 def test_moe_beam_search_decodes():
