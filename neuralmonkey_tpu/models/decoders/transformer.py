@@ -59,6 +59,8 @@ class TransformerDecoder(AutoregressiveDecoder):
                  moe_top_k: int = 2,
                  moe_capacity_factor: float = 1.5,
                  moe_aux_weight: float = 0.01,
+                 moe_router_noise: float = 0.0,
+                 moe_z_loss_weight: float = 0.0,
                  reuse: ModelPart = None,
                  save_checkpoint: str = None,
                  load_checkpoint: str = None) -> None:
@@ -105,6 +107,8 @@ class TransformerDecoder(AutoregressiveDecoder):
         self.moe_top_k = moe_top_k
         self.moe_capacity_factor = moe_capacity_factor
         self.moe_aux_weight = moe_aux_weight
+        self.moe_router_noise = moe_router_noise
+        self.moe_z_loss_weight = moe_z_loss_weight
         if moe_experts > 1 and pipeline_stages > 1:
             raise ValueError(
                 "moe_experts cannot combine with pipeline_stages "
@@ -259,7 +263,9 @@ class TransformerDecoder(AutoregressiveDecoder):
             ff_out, aux = moe_ffn(
                 layer["ff"], normed, mask=moe_mask,
                 top_k=self.moe_top_k,
-                capacity_factor=self.moe_capacity_factor)
+                capacity_factor=self.moe_capacity_factor,
+                router_noise=self.moe_router_noise,
+                noise_rng=rngs.get("moe_noise"))
             return constrain_sequence(
                 x + _maybe_dropout(ff_out, self.dropout_keep_prob,
                                    rngs["res_ff"])), aux
@@ -285,6 +291,9 @@ class TransformerDecoder(AutoregressiveDecoder):
                 for e in range(n_enc)],
             "res_ff": (ctx.make_rng(self, f"res_ff_{i}")
                        if res_drop else None),
+            "moe_noise": (ctx.make_rng(self, f"moe_noise_{i}")
+                          if ctx.train and self.moe_experts > 1
+                          and self.moe_router_noise > 0.0 else None),
         }
 
     def _pipelined_train_layers(self, ctx: Context, params, x,
@@ -385,7 +394,7 @@ class TransformerDecoder(AutoregressiveDecoder):
             # slots and the balance loss track real tokens only)
             moe_mask = (self.train_mask(ctx)
                         if self.moe_experts > 1 else None)
-            aux_total = 0.0
+            balance_total, z_total = 0.0, 0.0
             for i in range(self.depth):
                 out = layer_fn(params[f"layer_{i}"], x, all_keys_mask,
                                enc_data,
@@ -394,13 +403,18 @@ class TransformerDecoder(AutoregressiveDecoder):
                                moe_mask)
                 if self.moe_experts > 1:
                     x, aux = out
-                    aux_total = aux_total + aux
+                    balance_total = balance_total + aux["balance"]
+                    z_total = z_total + aux["z"]
                 else:
                     x = out
             if self.moe_experts > 1 and ctx.train:
                 ctx.add_aux_loss(
                     self, "moe_balance",
-                    self.moe_aux_weight * aux_total / self.depth)
+                    self.moe_aux_weight * balance_total / self.depth)
+                if self.moe_z_loss_weight > 0.0:
+                    ctx.add_aux_loss(
+                        self, "moe_z",
+                        self.moe_z_loss_weight * z_total / self.depth)
 
         x = layer_norm(params["ln_out"], x)
         table = ctx.get_params(self.embeddings)["embeddings"]

@@ -47,6 +47,8 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
                  moe_top_k: int = 2,
                  moe_capacity_factor: float = 1.5,
                  moe_aux_weight: float = 0.01,
+                 moe_router_noise: float = 0.0,
+                 moe_z_loss_weight: float = 0.0,
                  # sugar for building the input sequence inline:
                  vocabulary: Vocabulary = None,
                  data_id: str = None,
@@ -115,6 +117,8 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
         self.moe_top_k = moe_top_k
         self.moe_capacity_factor = moe_capacity_factor
         self.moe_aux_weight = moe_aux_weight
+        self.moe_router_noise = moe_router_noise
+        self.moe_z_loss_weight = moe_z_loss_weight
         if moe_experts > 1 and pipeline_stages > 1:
             raise ValueError(
                 "moe_experts cannot combine with pipeline_stages "
@@ -232,7 +236,9 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
                 top_k=self.moe_top_k,
                 capacity_factor=self.moe_capacity_factor,
                 dropout_rng=rngs["ff"],
-                dropout_keep_prob=self.dropout_keep_prob)
+                dropout_keep_prob=self.dropout_keep_prob,
+                router_noise=self.moe_router_noise,
+                noise_rng=rngs.get("moe_noise"))
             ff_out = _maybe_dropout(ff_out, self.dropout_keep_prob,
                                     rngs["res_ff"])
             return constrain_sequence(states + ff_out), aux
@@ -257,6 +263,9 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
                         if res_drop else None),
             "res_ff": (ctx.make_rng(self, f"res_drop_ff_{i}")
                        if res_drop else None),
+            "moe_noise": (ctx.make_rng(self, f"moe_noise_{i}")
+                          if ctx.train and self.moe_experts > 1
+                          and self.moe_router_noise > 0.0 else None),
         }
 
     def _pipelined_layers(self, ctx: Context, params, states, mask):
@@ -342,19 +351,24 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
         else:
             layer_fn = (jax.checkpoint(self._layer_fn)
                         if self.remat and ctx.train else self._layer_fn)
-            aux_total = 0.0
+            balance_total, z_total = 0.0, 0.0
             for i in range(self.depth):
                 out = layer_fn(params[f"layer_{i}"], states, mask,
                                self._layer_rngs(ctx, i))
                 if self.moe_experts > 1:
                     states, aux = out
-                    aux_total = aux_total + aux
+                    balance_total = balance_total + aux["balance"]
+                    z_total = z_total + aux["z"]
                 else:
                     states = out
             if self.moe_experts > 1 and ctx.train:
                 ctx.add_aux_loss(
                     self, "moe_balance",
-                    self.moe_aux_weight * aux_total / self.depth)
+                    self.moe_aux_weight * balance_total / self.depth)
+                if self.moe_z_loss_weight > 0.0:
+                    ctx.add_aux_loss(
+                        self, "moe_z",
+                        self.moe_z_loss_weight * z_total / self.depth)
 
         states = layer_norm(params["ln_out"], states)
         # zero out padding positions for clean downstream pooling

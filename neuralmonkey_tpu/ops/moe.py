@@ -114,8 +114,10 @@ def moe_ffn(params: Dict, x: jnp.ndarray,
             capacity_factor: float = 1.5,
             activation=jax.nn.relu,
             dropout_rng=None,
-            dropout_keep_prob: float = 1.0
-            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+            dropout_keep_prob: float = 1.0,
+            router_noise: float = 0.0,
+            noise_rng=None
+            ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Mixture-of-experts position-wise FFN.
 
     Args:
@@ -128,8 +130,14 @@ def moe_ffn(params: Dict, x: jnp.ndarray,
       capacity_factor: slack over the perfectly-balanced per-expert
         load; overflowing tokens produce zero output (the caller's
         residual connection carries them).
+      router_noise: train-time multiplicative jitter on the router
+        input (Switch Transformer's exploration trick — uniform in
+        [1-eps, 1+eps]); active only when ``noise_rng`` is given.
 
-    Returns (output (G, S, D), balance_loss f32 scalar).
+    Returns (output (G, S, D), aux dict of f32 scalars):
+      ``balance`` — Switch load-balance loss (1 at perfect balance);
+      ``z`` — router z-loss, mean over valid tokens of
+      logsumexp(logits)² (penalizes drifting logit scales).
 
     Memory: the dense dispatch/combine tensors are (G, S, E, C) — at
     the framework's sentence lengths (<= ~512 BPE tokens, SURVEY.md
@@ -147,8 +155,13 @@ def moe_ffn(params: Dict, x: jnp.ndarray,
 
     # routing runs float32 regardless of the compute policy (softmax /
     # cumsum headroom; the router matmul is tiny)
+    router_in = x.astype(jnp.float32)
+    if noise_rng is not None and router_noise > 0.0:
+        router_in = router_in * jax.random.uniform(
+            noise_rng, router_in.shape,
+            minval=1.0 - router_noise, maxval=1.0 + router_noise)
     logits = jnp.einsum(
-        "gsd,de->gse", x.astype(jnp.float32),
+        "gsd,de->gse", router_in,
         params["router"]["w"].astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)
 
@@ -198,13 +211,16 @@ def moe_ffn(params: Dict, x: jnp.ndarray,
     # Switch load-balance loss over valid tokens: top-1 load fraction
     # x mean router prob, scaled so perfect balance scores 1
     top1 = sel[:, :, 0, :]                             # (G, S, E)
+    z_sq = jax.nn.logsumexp(logits, axis=-1) ** 2      # (G, S)
     if mask is not None:
         m = mask.astype(jnp.float32)
         denom = jnp.maximum(jnp.sum(m), 1.0)
         load = jnp.sum(top1, axis=(0, 1)) / denom
         prob_mean = jnp.sum(probs * m[..., None], axis=(0, 1)) / denom
+        z_loss = jnp.sum(z_sq * m) / denom
     else:
         load = jnp.mean(top1, axis=(0, 1))
         prob_mean = jnp.mean(probs, axis=(0, 1))
+        z_loss = jnp.mean(z_sq)
     balance = n_experts * jnp.sum(load * prob_mean)
-    return y.astype(x.dtype), balance
+    return y.astype(x.dtype), {"balance": balance, "z": z_loss}

@@ -132,13 +132,19 @@ def test_moe_balance_loss():
     params["router"]["w"] = jnp.zeros_like(params["router"]["w"])
     x = jnp.abs(jax.random.normal(jax.random.PRNGKey(9), (2, 16, 8))
                 ) + 0.1
-    _, balance = moe_ffn(params, x, top_k=1, capacity_factor=2.0)
+    _, aux = moe_ffn(params, x, top_k=1, capacity_factor=2.0)
     # uniform probs: top_k breaks ties by index (all tokens land on
     # expert 0) -> load=(1,0,0,0), prob_mean=1/E each -> E*1*(1/E)=1
-    assert float(balance) == pytest.approx(1.0, rel=1e-5)
+    assert float(aux["balance"]) == pytest.approx(1.0, rel=1e-5)
+    # zero router: logits all 0 -> logsumexp = log(E) -> z = log(E)^2
+    assert float(aux["z"]) == pytest.approx(
+        float(np.log(n_experts)) ** 2, rel=1e-5)
     params["router"]["w"] = params["router"]["w"].at[:, 2].set(100.0)
     _, collapsed = moe_ffn(params, x, top_k=1, capacity_factor=2.0)
-    assert float(collapsed) == pytest.approx(n_experts, rel=1e-4)
+    assert float(collapsed["balance"]) == pytest.approx(n_experts,
+                                                        rel=1e-4)
+    # huge logits -> huge z penalty (what the z-loss guards against)
+    assert float(collapsed["z"]) > 100.0
 
 
 def test_moe_gradients_reach_router_and_experts():
@@ -147,7 +153,8 @@ def test_moe_gradients_reach_router_and_experts():
 
     def loss(p):
         y, aux = moe_ffn(p, x, top_k=2, capacity_factor=2.0)
-        return jnp.sum(y ** 2) + 0.01 * aux
+        return (jnp.sum(y ** 2) + 0.01 * aux["balance"]
+                + 0.001 * aux["z"])
 
     grads = jax.grad(loss)(params)
     assert float(jnp.abs(grads["router"]["w"]).sum()) > 0.0
@@ -323,3 +330,49 @@ def test_moe_composes_with_remat():
             for _ in range(2)]
     assert res[False][0] == pytest.approx(res[True][0], rel=1e-5)
     assert res[False][1] == pytest.approx(res[True][1], rel=1e-5)
+
+
+def test_moe_router_noise_and_z_loss_train():
+    """Router jitter + z-loss knobs: jitter perturbs routing only when
+    an rng is passed (training); the z aux term appears in the loss
+    dict; eval decode stays deterministic."""
+    params = moe_init(jax.random.PRNGKey(12), 8, 16, 4)
+    x = jax.random.normal(jax.random.PRNGKey(13), (2, 6, 8))
+    y0, _ = moe_ffn(params, x, top_k=1, capacity_factor=2.0,
+                    router_noise=0.5)  # no rng -> no noise
+    y1, _ = moe_ffn(params, x, top_k=1, capacity_factor=2.0)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    yn, _ = moe_ffn(params, x, top_k=1, capacity_factor=2.0,
+                    router_noise=0.5,
+                    noise_rng=jax.random.PRNGKey(14))
+    assert float(jnp.abs(yn - y1).max()) > 0.0
+
+    ds = _toy_dataset()
+    enc = TransformerEncoder(
+        name="zn_src", vocabulary=_vocab(), data_id="source",
+        embedding_size=16, ff_hidden_size=32, depth=2, n_heads=4,
+        moe_experts=4, moe_router_noise=0.01,
+        moe_z_loss_weight=1e-3)
+    dec = TransformerDecoder(
+        name="zn_tgt", vocabulary=_vocab(), data_id="target",
+        encoders=[enc], embedding_size=16, ff_hidden_size=32, depth=2,
+        n_heads_self=4, n_heads_enc=4, max_output_len=6,
+        tie_embeddings=False, moe_experts=4, moe_router_noise=0.01,
+        moe_z_loss_weight=1e-3)
+    trainer = CrossEntropyTrainer(
+        decoders=[dec], clip_norm=1.0,
+        optimizer=AdamOptimizer(learning_rate=1e-3))
+    runner = GreedyRunner(output_series="target", decoder=dec)
+    manager = TPUManager(random_seed=0)
+    manager.initialize_model_parts([trainer, runner], seed=0)
+    losses = [manager.train_on_batch(trainer, ds, batch_size=16)
+              for _ in range(5)]
+    assert losses[-1]["loss"] < losses[0]["loss"]
+    for part in ("zn_src", "zn_tgt"):
+        assert f"aux/{part}/moe_balance" in losses[0]
+        assert f"aux/{part}/moe_z" in losses[0]
+        assert losses[0][f"aux/{part}/moe_z"] > 0.0
+    # eval decode is noise-free and deterministic
+    o1 = manager.run_on_batch([runner], ds, batch_size=16)[0].outputs
+    o2 = manager.run_on_batch([runner], ds, batch_size=16)[0].outputs
+    assert o1 == o2
