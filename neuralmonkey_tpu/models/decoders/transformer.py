@@ -203,15 +203,25 @@ class TransformerDecoder(AutoregressiveDecoder):
                 specs.update(ffn_partition_specs(f"layer_{i}/ff"))
         return specs
 
-    def _decode_ffn(self, layer, normed):
+    def _decode_ffn(self, layer, normed, row_valid=None):
         """FFN at an incremental decode step ((rows, 1, D) current
-        tokens). MoE routes the rows as one token group — with
-        batch*beam rows the per-expert capacity stays proportional —
-        and the balance loss is discarded (no training here)."""
+        tokens). MoE decode routes WITHOUT token dropping (capacity =
+        group size): capacity competition at inference would make a
+        sentence's output depend on the other rows sharing its batch —
+        including batch-padding rows — breaking the padding-inertness
+        and in-order-alignment invariants (utils/batching.py). No-drop
+        top-k costs E/(k*cf) more decode-FFN FLOPs than the train-time
+        capacity-limited dispatch; decode is selection/cache-bound, so
+        this is noise. ``row_valid`` (rows,) additionally masks pad
+        rows out of routing entirely. The balance loss is discarded
+        (no training here)."""
         if self.moe_experts > 1:
+            mask = row_valid[None, :] if row_valid is not None else None
+            k = min(self.moe_top_k, self.moe_experts)
             out, _ = moe_ffn(layer["ff"], normed.transpose(1, 0, 2),
+                             mask=mask,
                              top_k=self.moe_top_k,
-                             capacity_factor=self.moe_capacity_factor)
+                             capacity_factor=self.moe_experts / k)
             return out.transpose(1, 0, 2)
         return ffn(layer["ff"], normed)
 
@@ -462,6 +472,19 @@ class TransformerDecoder(AutoregressiveDecoder):
             constants["enc_kv"].append(per_layer)
             constants["enc_bias"].append(
                 attention_bias_from_mask(enc.temporal_mask(ctx)))
+        if self.moe_experts > 1:
+            # (B,) validity of each batch row: batch-padding rows (all-
+            # zero source mask) must not claim MoE capacity slots —
+            # otherwise a real sentence's decode output would depend on
+            # how many pad rows its batch happens to carry (the
+            # padding-inertness invariant, utils/batching.py)
+            if self.encoders:
+                constants["row_valid"] = jnp.max(
+                    self.encoders[0].temporal_mask(ctx), axis=1
+                ).astype(jnp.float32)
+            else:  # LM decode: row validity is unknowable here
+                constants["row_valid"] = jnp.ones(
+                    (self._batch_size(ctx),), jnp.float32)
         return constants
 
     def tile_decode_constants(self, constants, k: int):
@@ -471,6 +494,8 @@ class TransformerDecoder(AutoregressiveDecoder):
             rep, constants["enc_kv"])
         tiled["enc_bias"] = jax.tree_util.tree_map(
             rep, constants["enc_bias"])
+        if "row_valid" in constants:
+            tiled["row_valid"] = rep(constants["row_valid"])
         return tiled
 
     def tile_decode_constants_lineage(self, constants, k: int):
@@ -560,7 +585,8 @@ class TransformerDecoder(AutoregressiveDecoder):
                     att_weights = jnp.mean(w[:, :, 0, :], axis=1)
                 x = x + nn.linear(att_p["o"], merge_heads(cross))
             normed = layer_norm(layer["ln_ff"], x)
-            x = x + self._decode_ffn(layer, normed)
+            x = x + self._decode_ffn(layer, normed,
+                                     constants.get("row_valid"))
 
         x = layer_norm(params["ln_out"], x)[:, 0, :]  # (B, D)
         logits = self._logits_from_states(params, table, x)
@@ -609,6 +635,10 @@ class TransformerDecoder(AutoregressiveDecoder):
         x = x + sinusoidal_position_encoding(
             length, self.model_dim, x.dtype)[step]
         x = x[:, None, :]  # (B*K, 1, D)
+
+        row_valid = constants.get("row_valid")
+        if row_valid is not None:  # untiled (B,) -> beam-major (B*K,)
+            row_valid = jnp.repeat(row_valid, beam, axis=0)
 
         att_weights = None
 
@@ -694,7 +724,7 @@ class TransformerDecoder(AutoregressiveDecoder):
                 cross = cross.reshape(rows, 1, self.model_dim)
                 x = x + nn.linear(att_p["o"], cross)
             normed = layer_norm(layer["ln_ff"], x)
-            x = x + self._decode_ffn(layer, normed)
+            x = x + self._decode_ffn(layer, normed, row_valid)
 
         x = layer_norm(params["ln_out"], x)[:, 0, :]
         logits = self._logits_from_states(params, table, x)

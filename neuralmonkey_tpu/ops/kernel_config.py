@@ -72,6 +72,14 @@ def note_multi_device_mesh() -> None:
     _MULTI_DEVICE_MESH = True
 
 
+def reset_multi_device_note() -> None:
+    """Called by TPUManager.__init__ before it (re-)notes its own mesh
+    size, so a single-device manager built after a multi-device one in
+    the same process gets its Pallas kernels back."""
+    global _MULTI_DEVICE_MESH
+    _MULTI_DEVICE_MESH = False
+
+
 def use_pallas() -> bool:
     if _MULTI_DEVICE_MESH and os.environ.get("NM_USE_PALLAS") != "1":
         return False

@@ -56,13 +56,22 @@ def expert_sharding_mesh():
     return _EXPERT_MESH
 
 
-def constrain_dispatch(x, expert_axis: int = 0):
-    """Constrain an expert-major intermediate (E first) to shard its
-    expert axis over 'expert'. No-op without a registered mesh."""
+def constrain_dispatch(x, expert_axis: int = 0, group_axis: int = 1):
+    """Constrain an expert-major intermediate (E, G, C, D) to shard
+    its expert axis over 'expert' AND its group (batch) axis over
+    'data' — without the latter every data shard would redundantly
+    run the expert FFN on the full global batch (the None in the spec
+    pins the axis replicated, forcing an all-gather of the dispatched
+    tokens). Decode steps pass a single group (G=1, not divisible by
+    the data axis), which legitimately replicates. No-op without a
+    registered mesh."""
     if _EXPERT_MESH is None:
         return x
     spec = [None] * x.ndim
     spec[expert_axis] = "expert"
+    dp = _EXPERT_MESH.shape.get("data", 1)
+    if dp > 1 and x.shape[group_axis] % dp == 0:
+        spec[group_axis] = "data"
     sharding = jax.sharding.NamedSharding(
         _EXPERT_MESH, jax.sharding.PartitionSpec(*spec))
     return jax.lax.with_sharding_constraint(x, sharding)

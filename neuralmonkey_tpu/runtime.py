@@ -68,6 +68,20 @@ class TPUManager:
 
         devices = jax.devices()
         self.n_devices = len(devices)
+        # The pipeline/expert/sequence constraint helpers read their
+        # mesh from module-global registries (the model-part forward
+        # fns can't thread a mesh argument through the decode
+        # contract). A previous manager in the same process may have
+        # registered a mesh this run does not use — clear ALL of them
+        # first, then re-enable below per this manager's config.
+        from .ops.kernel_config import reset_multi_device_note
+        from .ops.moe import disable_expert_sharding
+        from .ops.sharding import disable_sequence_sharding
+        from .parallel.pipeline import disable_pipeline
+        disable_pipeline()
+        disable_expert_sharding()
+        disable_sequence_sharding()
+        reset_multi_device_note()
         # mesh: ('data',) by default; ('data', 'model') shards the
         # vocab-sized matmuls (embeddings / logit projection) over the
         # model axis — XLA inserts the collectives from the parameter

@@ -68,11 +68,9 @@ class GenericTrainer:
 
     # ------------------------------------------------------------------ #
     def losses(self, params: Any, batch: Dict[str, Any], rng: Any) -> Dict[str, jnp.ndarray]:
-        ctx = Context(params, batch, train=True, rng=rng)
-        out = {}
-        for objective in self.objectives:
-            out[objective.name] = objective.loss(ctx)
-        return out
+        """Per-objective (+aux) losses; one evaluation path with
+        :meth:`total_loss` so the dicts can never drift apart."""
+        return self.total_loss(params, batch, rng)[1]
 
     def total_loss(self, params: Any, batch: Dict[str, Any], rng: Any):
         """Returns (scalar total, per-objective dict)."""

@@ -376,3 +376,83 @@ def test_moe_router_noise_and_z_loss_train():
     o1 = manager.run_on_batch([runner], ds, batch_size=16)[0].outputs
     o2 = manager.run_on_batch([runner], ds, batch_size=16)[0].outputs
     assert o1 == o2
+
+
+def test_moe_decode_ignores_batch_padding_rows():
+    """Decode outputs are batch-composition-invariant: the decode FFN
+    routes with NO token dropping (capacity = group size) and masks
+    batch-pad rows out of routing, so the same 9 sentences decode
+    identically whether the batch carries 7 batch-pad rows
+    (batch_size=16) or none (batch_size=9) — greedy AND beam. With the
+    train-time capacity factor this failed: pad rows claimed expert
+    slots and changed real sentences' outputs."""
+    from neuralmonkey_tpu.models.decoders.beam_search_decoder import \
+        BeamSearchDecoder
+    from neuralmonkey_tpu.runners.beam_search_runner import \
+        BeamSearchRunner
+    trainer, runner = _build_moe()
+    dec = trainer.objectives[0].decoder
+    bs = BeamSearchDecoder(name="pad_bs", parent_decoder=dec,
+                           beam_size=4)
+    beam_runner = BeamSearchRunner(output_series="target", decoder=bs)
+    manager = TPUManager(random_seed=0)
+    manager.initialize_model_parts(
+        [trainer, runner, beam_runner], seed=0)
+    for _ in range(3):
+        manager.train_on_batch(trainer, _toy_dataset(), batch_size=16)
+    ds9 = Dataset("toy9", {
+        "source": [[f"w{i}", f"w{i + 1}", f"w{i + 2}"]
+                   for i in range(9)],
+        "target": [[f"w{i}", f"w{i + 3}"] for i in range(9)],
+    })
+    for r in (runner, beam_runner):
+        padded = manager.run_on_batch([r], ds9,
+                                      batch_size=16)[0].outputs
+        exact = manager.run_on_batch([r], ds9,
+                                     batch_size=9)[0].outputs
+        assert padded == exact
+
+
+def test_constrain_dispatch_shards_group_axis():
+    """Expert-major intermediates shard their group (batch) axis over
+    'data' in addition to 'expert' — with the group axis pinned
+    replicated, every data shard would redundantly run the expert FFN
+    on the full global batch. Decode-shaped tensors (G=1) replicate
+    the group axis legitimately."""
+    from neuralmonkey_tpu.ops.moe import (constrain_dispatch,
+                                          enable_expert_sharding)
+    P = jax.sharding.PartitionSpec
+    mesh = jax.sharding.Mesh(
+        np.array(jax.devices()).reshape(2, 4), ("data", "expert"))
+    enable_expert_sharding(mesh)
+    try:
+        out = jax.jit(constrain_dispatch)(jnp.zeros((8, 8, 4, 16)))
+        assert out.sharding.is_equivalent_to(
+            jax.sharding.NamedSharding(
+                mesh, P("expert", "data", None, None)), 4)
+        out1 = jax.jit(constrain_dispatch)(jnp.zeros((8, 1, 4, 16)))
+        assert out1.sharding.is_equivalent_to(
+            jax.sharding.NamedSharding(
+                mesh, P("expert", None, None, None)), 4)
+    finally:
+        disable_expert_sharding()
+
+
+def test_new_manager_clears_stale_parallelism_registries():
+    """A TPUManager built after a pipeline/expert/sequence-parallel
+    one in the same process must not leave the constraint helpers
+    pointing at the old mesh (shard_map over a stale mesh errors or
+    misplaces work)."""
+    from neuralmonkey_tpu.ops.moe import expert_sharding_mesh
+    from neuralmonkey_tpu.ops.sharding import sequence_sharding_mesh
+    from neuralmonkey_tpu.parallel.pipeline import pipeline_mesh
+    TPUManager(num_pipeline_stages=2)
+    assert pipeline_mesh() is not None
+    TPUManager(num_expert_shards=2)
+    assert pipeline_mesh() is None
+    assert expert_sharding_mesh() is not None
+    TPUManager(num_model_shards=2, sequence_sharding=True)
+    assert expert_sharding_mesh() is None
+    assert sequence_sharding_mesh() is not None
+    TPUManager()
+    assert sequence_sharding_mesh() is None
