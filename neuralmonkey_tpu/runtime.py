@@ -55,6 +55,8 @@ class TPUManager:
                  sequence_sharding: bool = False,
                  num_pipeline_stages: int = 1,
                  num_expert_shards: int = 1,
+                 fsdp: bool = False,
+                 shard_optimizer_state: bool = False,
                  random_seed: int = None) -> None:
         del (num_threads, gpu_allow_growth,
              per_process_gpu_memory_fraction,
@@ -89,6 +91,22 @@ class TPUManager:
         self.num_model_shards = num_model_shards
         self.num_pipeline_stages = num_pipeline_stages
         self.num_expert_shards = num_expert_shards
+        # ZeRO-style sharding over the data axis: 'fsdp' shards the
+        # PARAMETERS (XLA all-gathers them at use and reduce-scatters
+        # the gradients — ZeRO-3/FSDP); 'shard_optimizer_state' shards
+        # only the optimizer moments (ZeRO-1: the cheap 2/3 of Adam's
+        # memory, no extra collectives on the forward pass). fsdp
+        # implies sharded optimizer state (the moments follow their
+        # parameters).
+        self.fsdp = fsdp
+        self.shard_optimizer_state = shard_optimizer_state or fsdp
+        if fsdp and num_pipeline_stages > 1:
+            raise ValueError(
+                "fsdp cannot combine with num_pipeline_stages: the "
+                "pipeline's shard_map declares its stacked layer "
+                "params P('pipe', ...); an extra 'data' sharding "
+                "would contradict those in_specs (use "
+                "shard_optimizer_state=True for the ZeRO-1 part)")
         if num_pipeline_stages > 1 and num_model_shards > 1 \
                 and not hasattr(jax, "shard_map"):
             raise ValueError(
@@ -228,15 +246,59 @@ class TPUManager:
                 declared[f"{part.param_key}/{rel}"] = tuple(axes)
         return declared
 
+    def _declared_axes(self, declared, joined, shape, ndim):
+        """Validated model/pipe/expert axes for one param path (all-
+        None when undeclared or unshardable; warns on the latter)."""
+        axes = declared.get(joined)
+        if axes is None:
+            return [None] * ndim
+        if len(axes) != ndim:
+            warn(f"Param '{joined}' declares partition {axes} but "
+                 f"has rank {ndim}; replicating")
+            return [None] * ndim
+        # specs naming mesh axes this run doesn't have (e.g. 'model'
+        # specs under a pipeline-only mesh) replicate silently on
+        # those dims
+        axes = [a if (a is None or a in self.mesh.shape) else None
+                for a in axes]
+        for dim, axis in zip(shape, axes):
+            if axis is not None and dim % self.mesh.shape[axis]:
+                warn(f"Param '{joined}' dim {dim} not divisible by "
+                     f"mesh axis {axis}={self.mesh.shape[axis]}; "
+                     "replicating")
+                return [None] * ndim
+        return axes
+
+    def _add_data_axis(self, axes, shape):
+        """ZeRO/FSDP: shard the largest still-free divisible dim over
+        'data' (largest so shards stay MXU-sized); leaves with no
+        divisible free dim stay as they are (replicated over 'data')."""
+        dp = self.mesh.shape.get("data", 1)
+        if dp <= 1:
+            return axes
+        best = None
+        for i, (dim, a) in enumerate(zip(shape, axes)):
+            if a is None and dim % dp == 0:
+                if best is None or dim > shape[best]:
+                    best = i
+        if best is not None:
+            axes = list(axes)
+            axes[best] = "data"
+        return axes
+
     def _param_shardings(self, params):
         """Per-parameter shardings from the parts' declarative
         ``param_partition_specs`` (VERDICT r1: the old name-matching
         heuristic silently de-sharded renamed parts). Declared paths
         that exist but cannot shard (wrong rank / non-divisible dim)
         replicate WITH a warning; a mesh with a model axis but zero
-        effectively-sharded params also warns."""
-        if (self.num_model_shards <= 1 and self.num_pipeline_stages <= 1
-                and self.num_expert_shards <= 1):
+        effectively-sharded params also warns. Under ``fsdp=True``
+        every param additionally shards over 'data' on its largest
+        free divisible dim."""
+        model_axes = (self.num_model_shards > 1
+                      or self.num_pipeline_stages > 1
+                      or self.num_expert_shards > 1)
+        if not model_axes and not self.fsdp:
             return self.replicated
         P = jax.sharding.PartitionSpec
         declared = self._declared_partition_specs()
@@ -246,37 +308,57 @@ class TPUManager:
             names = [getattr(e, "key", getattr(e, "idx", ""))
                      for e in path]
             joined = "/".join(str(n) for n in names)
-            axes = declared.get(joined)
-            if axes is None:
-                return P()
-            if len(axes) != leaf.ndim:
-                warn(f"Param '{joined}' declares partition {axes} but "
-                     f"has rank {leaf.ndim}; replicating")
-                return P()
-            # specs naming mesh axes this run doesn't have (e.g.
-            # 'model' specs under a pipeline-only mesh) replicate
-            # silently on those dims
-            axes = tuple(a if (a is None or a in self.mesh.shape)
-                         else None for a in axes)
-            for dim, axis in zip(leaf.shape, axes):
-                if axis is not None and dim % self.mesh.shape[axis]:
-                    warn(f"Param '{joined}' dim {dim} not divisible by "
-                         f"mesh axis {axis}="
-                         f"{self.mesh.shape[axis]}; replicating")
-                    return P()
+            axes = self._declared_axes(declared, joined, leaf.shape,
+                                       leaf.ndim)
             if any(a is not None for a in axes):
                 applied["n"] += 1
+            if self.fsdp:
+                axes = self._add_data_axis(axes, leaf.shape)
             return P(*axes)
 
         shardings = jax.tree_util.tree_map_with_path(
             lambda path, leaf: jax.sharding.NamedSharding(
                 self.mesh, spec_for(path, leaf)),
             params)
-        if not applied["n"]:
+        if model_axes and not applied["n"]:
             warn("mesh has a model/pipe/expert axis but no parameter "
                  "declares a matching partition "
                  "(param_partition_specs); everything replicates")
         return shardings
+
+    def _opt_state_shardings(self, opt_state):
+        """ZeRO-1 shardings for an optax state pytree: leaves that
+        mirror a declared parameter (path suffix match, e.g.
+        ``mu/encoder/embeddings``) keep the param's model/pipe/expert
+        axes; every non-scalar leaf then shards its largest free
+        divisible dim over 'data'. Scalars (step counts, schedule
+        state) replicate."""
+        P = jax.sharding.PartitionSpec
+        declared = self._declared_partition_specs()
+
+        def path_name(e):
+            for attr in ("key", "name", "idx"):
+                if hasattr(e, attr):
+                    return str(getattr(e, attr))
+            return ""
+
+        def spec_for(path, leaf):
+            shape = getattr(leaf, "shape", None)
+            if not shape:
+                return P()
+            joined = "/".join(path_name(e) for e in path)
+            axes = [None] * len(shape)
+            for key, _ in declared.items():
+                if joined == key or joined.endswith("/" + key):
+                    axes = self._declared_axes(declared, key, shape,
+                                               len(shape))
+                    break
+            return P(*self._add_data_axis(axes, shape))
+
+        return jax.tree_util.tree_map_with_path(
+            lambda path, leaf: jax.sharding.NamedSharding(
+                self.mesh, spec_for(path, leaf)),
+            opt_state)
 
     def _place_params(self, params):
         shardings = self._param_shardings(params)
@@ -386,6 +468,20 @@ class TPUManager:
         key = id(trainer)
         if key not in self._train_fns:
             tx = trainer.make_optax()
+            opt_state = tx.init(self.params_list[0])
+            # ZeRO-1: moments shard over 'data'; the constraint inside
+            # the step keeps the compiler's output layout deterministic
+            # (elementwise update math stays local to each shard;
+            # donation then reuses the sharded buffers in place)
+            opt_shardings = (self._opt_state_shardings(opt_state)
+                             if self.shard_optimizer_state else None)
+            # ... and the params keep their own placement: without the
+            # constraint GSPMD propagates the sharded-moment layout
+            # into the param outputs, silently turning ZeRO-1 into
+            # FSDP after the first step
+            param_shardings = (jax.tree_util.tree_map(
+                lambda a: a.sharding, self.params_list[0])
+                if opt_shardings is not None else None)
 
             def step_fn(params, opt_state, batch, rng, step):
                 # per-step rng derivation lives INSIDE the jit: an
@@ -401,6 +497,11 @@ class TPUManager:
                 updates, new_opt_state = tx.update(
                     grads, opt_state, params)
                 new_params = optax.apply_updates(params, updates)
+                if opt_shardings is not None:
+                    new_opt_state = jax.lax.with_sharding_constraint(
+                        new_opt_state, opt_shardings)
+                    new_params = jax.lax.with_sharding_constraint(
+                        new_params, param_shardings)
                 losses = dict(losses)
                 losses["loss"] = total
                 losses["grad_norm"] = grad_norm
@@ -415,7 +516,6 @@ class TPUManager:
 
             self._train_fns[key] = jax.jit(
                 step_fn, donate_argnums=(0, 1))
-            opt_state = tx.init(self.params_list[0])
             label = self._trainer_label(trainer)
             self._opt_labels[key] = label
             if self._pending_opt_flat is not None:
@@ -436,7 +536,9 @@ class TPUManager:
                     warn(f"No optimizer state for trainer '{label}' "
                          "in checkpoint; reinitializing")
             self._opt_states[key] = jax.device_put(
-                opt_state, self.replicated)
+                opt_state,
+                opt_shardings if opt_shardings is not None
+                else self.replicated)
         return self._train_fns[key], key
 
     @staticmethod
