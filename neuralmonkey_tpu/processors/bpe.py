@@ -32,8 +32,22 @@ class BPECodec:
             for line in f:
                 self._add_code(line)
         self._cache: Dict[str, List[str]] = {}
+        # native fast path (C++ codec, byte-exact — see native/):
+        # built lazily so merely loading a merge file never compiles
+        self._native = None
+        self._native_failed = False
         log(f"BPE codes loaded from {merge_file} "
             f"({len(self.bpe_codes)} merges, v{self.version})")
+
+    def _native_codec(self):
+        if self._native is None and not self._native_failed:
+            from ..native import NativeBPE, available
+            if available():
+                self._native = NativeBPE(self.bpe_codes,
+                                         self.separator, self.version)
+            else:
+                self._native_failed = True
+        return self._native
 
     def _add_code(self, line: str) -> None:
         line = line.rstrip("\n")
@@ -86,9 +100,28 @@ class BPECodec:
         return out
 
     def encode(self, sentence: List[str]) -> List[str]:
+        # Python's per-word cache stays in front (Zipf: most words are
+        # cache hits, and a dict hit beats the FFI round-trip); the
+        # sentence's cache MISSES go through the native codec in one
+        # batched call, where the merge loop dominates (~5x the Python
+        # loop cold, tests/test_native.py)
+        cache = self._cache
+        misses = [w for w in sentence if w and w not in cache]
+        if misses:
+            native = self._native_codec()
+            if native is not None:
+                unique = [w for w in dict.fromkeys(misses)
+                          if native.word_clean(w)]
+                if unique:
+                    for w, subs in zip(unique,
+                                       native.encode_words(unique)):
+                        cache[w] = subs
         output: List[str] = []
         for word in sentence:
-            output.extend(self._encode_word(word))
+            subwords = cache.get(word)
+            if subwords is None:
+                subwords = self._encode_word(word)
+            output.extend(subwords)
         return output
 
     def decode(self, sentence: List[str]) -> List[str]:

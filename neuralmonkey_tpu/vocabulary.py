@@ -54,8 +54,27 @@ class Vocabulary:
             t: i for i, t in enumerate(self.index_to_word)}
         self.word_count: Dict[str, int] = {t: 0 for t in SPECIAL_TOKENS}
         self.unk_sample_prob = unk_sample_prob
+        # native id-encoder (C++ fill loop); rebuilt after any mutation
+        self._native = None
+        self._native_failed = False
         if tokens is not None:
             self.add_tokenized_text(list(tokens))
+
+    def _native_vocab(self):
+        if self._native is None and not self._native_failed:
+            from .native import NativeVocab, available
+            if available():
+                try:
+                    self._native = NativeVocab(self.index_to_word)
+                except RuntimeError:  # delimiter bytes in a token
+                    self._native_failed = True
+            else:
+                self._native_failed = True
+        return self._native
+
+    def _invalidate_native(self) -> None:
+        self._native = None
+        self._native_failed = False
 
     # ------------------------------------------------------------------ #
     # construction / mutation
@@ -65,6 +84,7 @@ class Vocabulary:
             self.word_to_index[word] = len(self.index_to_word)
             self.index_to_word.append(word)
             self.word_count[word] = 0
+            self._invalidate_native()
         self.word_count[word] += occurences
 
     def add_tokenized_text(self, tokenized_text: Sequence[str]) -> None:
@@ -83,6 +103,7 @@ class Vocabulary:
         self.word_to_index = {t: i for i, t in enumerate(self.index_to_word)}
         self.word_count = {w: self.word_count.get(w, 0)
                            for w in self.index_to_word}
+        self._invalidate_native()
 
     def truncate_by_min_freq(self, min_freq: int) -> None:
         if min_freq <= 1:
@@ -92,6 +113,7 @@ class Vocabulary:
         self.index_to_word = kept
         self.word_to_index = {t: i for i, t in enumerate(kept)}
         self.word_count = {w: self.word_count.get(w, 0) for w in kept}
+        self._invalidate_native()
 
     # ------------------------------------------------------------------ #
     # queries
@@ -143,6 +165,18 @@ class Vocabulary:
         tgt_len = max(tgt_len, 1)
 
         batch = len(sentences)
+        # native fast path (C++ fill loop, byte-exact — see native/):
+        # unk-sampling draws from Python's `random`, so that training
+        # mode keeps the Python loop
+        use_sampling = train_mode and self.unk_sample_prob > 0.0
+        if batch and not use_sampling:
+            native = self._native_vocab()
+            if native is not None:
+                out = native.encode(sentences, tgt_len, max_len,
+                                    add_start_symbol, add_end_symbol)
+                if out is not None:  # None: delimiter-carrying tokens
+                    return out
+
         ids = np.full((batch, tgt_len), PAD_TOKEN_INDEX, dtype=np.int32)
         mask = np.zeros((batch, tgt_len), dtype=np.float32)
 
