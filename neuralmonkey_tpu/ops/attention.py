@@ -155,8 +155,14 @@ def multi_head_attention(params: Dict,
     q = split_heads(nn.linear(params["q"], queries), n_heads)
     k = split_heads(nn.linear(params["k"], keys), n_heads)
     v = split_heads(nn.linear(params["v"], values), n_heads)
+    from ..parallel.ring_attention import ring_attention, ring_eligible
     from .kernel_config import use_pallas
-    if key_mask is not None and dropout_rng is None and use_pallas():
+    if (key_mask is not None and dropout_rng is None and bias is None
+            and ring_eligible(q.shape[2], k.shape[2])):
+        # context parallelism: time axes sharded over the 'context'
+        # mesh axis, K/V blocks ride the ring (parallel/ring_attention)
+        out = ring_attention(q, k, v, key_mask, causal)
+    elif key_mask is not None and dropout_rng is None and use_pallas():
         from .pallas_attention import flash_attention
         out = flash_attention(q, k, v, key_mask, causal)
     else:

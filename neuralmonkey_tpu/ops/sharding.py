@@ -47,14 +47,21 @@ def sequence_sharding_mesh() -> Optional[object]:
 
 def constrain_sequence(x, time_axis: int = 1):
     """Constrain a (B, T, ...) activation to shard B over 'data' and T
-    over 'model'. No-op when sequence sharding is not enabled or the
-    array has no time axis."""
-    if _SEQ_MESH is None or x.ndim < 3:
+    over 'model' (Megatron SP) or 'context' (ring-attention context
+    parallelism — parallel/ring_attention.py). No-op when neither mode
+    is enabled or the array has no time axis."""
+    if x.ndim < 3:
         return x
+    mesh, time_name = _SEQ_MESH, "model"
+    if mesh is None:
+        from ..parallel.ring_attention import context_parallel_mesh
+        mesh, time_name = context_parallel_mesh(), "context"
+        if mesh is None or x.shape[time_axis] % mesh.shape["context"]:
+            return x
     import jax
     spec = [None] * x.ndim
     spec[0] = "data"
-    spec[time_axis] = "model"
+    spec[time_axis] = time_name
     sharding = jax.sharding.NamedSharding(
-        _SEQ_MESH, jax.sharding.PartitionSpec(*spec))
+        mesh, jax.sharding.PartitionSpec(*spec))
     return jax.lax.with_sharding_constraint(x, sharding)

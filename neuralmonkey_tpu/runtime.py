@@ -55,6 +55,7 @@ class TPUManager:
                  sequence_sharding: bool = False,
                  num_pipeline_stages: int = 1,
                  num_expert_shards: int = 1,
+                 num_context_shards: int = 1,
                  fsdp: bool = False,
                  shard_optimizer_state: bool = False,
                  random_seed: int = None) -> None:
@@ -80,9 +81,11 @@ class TPUManager:
         from .ops.moe import disable_expert_sharding
         from .ops.sharding import disable_sequence_sharding
         from .parallel.pipeline import disable_pipeline
+        from .parallel.ring_attention import disable_context_parallel
         disable_pipeline()
         disable_expert_sharding()
         disable_sequence_sharding()
+        disable_context_parallel()
         reset_multi_device_note()
         # mesh: ('data',) by default; ('data', 'model') shards the
         # vocab-sized matmuls (embeddings / logit projection) over the
@@ -116,6 +119,13 @@ class TPUManager:
             raise ValueError(
                 "num_expert_shards cannot combine with "
                 "num_pipeline_stages")
+        if num_context_shards > 1 and (num_pipeline_stages > 1
+                                       or num_expert_shards > 1):
+            raise ValueError(
+                "num_context_shards composes with num_model_shards "
+                "(ring attention inside each TP group) but not with "
+                "num_pipeline_stages/num_expert_shards — those own "
+                "their own shard_map layouts")
         if num_expert_shards > 1:
             span = num_expert_shards * num_model_shards
             if self.n_devices % span:
@@ -158,6 +168,28 @@ class TPUManager:
                     axis_names=("data", "pipe"))
             from .parallel.pipeline import enable_pipeline
             enable_pipeline(self.mesh)
+        elif num_context_shards > 1:
+            span = num_context_shards * num_model_shards
+            if self.n_devices % span:
+                raise ValueError(
+                    f"{self.n_devices} devices not divisible by "
+                    f"num_context_shards*num_model_shards={span}")
+            dp = self.n_devices // span
+            if num_model_shards > 1:
+                # CP x TP: attention time over 'context' (manual ring
+                # inside parallel/ring_attention's shard_map), heads
+                # Megatron-sharded over 'model' (GSPMD-managed — the
+                # ring keeps only 'context' manual)
+                self.mesh = jax.sharding.Mesh(
+                    np.array(devices).reshape(
+                        dp, num_context_shards, num_model_shards),
+                    axis_names=("data", "context", "model"))
+            else:
+                self.mesh = jax.sharding.Mesh(
+                    np.array(devices).reshape(dp, num_context_shards),
+                    axis_names=("data", "context"))
+            from .parallel.ring_attention import enable_context_parallel
+            enable_context_parallel(self.mesh)
         elif num_model_shards > 1:
             if self.n_devices % num_model_shards:
                 raise ValueError(
@@ -193,6 +225,11 @@ class TPUManager:
                      "num_pipeline_stages (the residual-stream "
                      "constraint would sit inside the pipeline's "
                      "shard_map body); ignoring")
+            elif num_context_shards > 1:
+                warn("sequence_sharding=True is redundant under "
+                     "num_context_shards (ring attention already "
+                     "shards the residual stream's time axis over "
+                     "'context'); ignoring")
             elif num_model_shards > 1:
                 from .ops.sharding import enable_sequence_sharding
                 enable_sequence_sharding(self.mesh)
