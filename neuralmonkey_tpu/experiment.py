@@ -307,7 +307,8 @@ class Experiment:
             print_final_evaluation(dataset.name, eval_result)
         return results, outputs
 
-    def restore_variables(self, paths: Optional[List[str]] = None) -> None:
+    def restore_variables(self, paths: Optional[List[str]] = None,
+                          average: bool = False) -> None:
         self.build_model()
         if paths is None:
             latest = self._latest_checkpoint()
@@ -315,4 +316,4 @@ class Experiment:
                 raise FileNotFoundError(
                     f"No checkpoint found in {self.output_dir}")
             paths = [latest]
-        self.tf_manager.restore(paths)
+        self.tf_manager.restore(paths, average=average)

@@ -49,6 +49,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--grid", action="store_true",
                         help="sliding-window grid decoding "
                              "(long inputs)")
+    parser.add_argument("--average", action="store_true",
+                        help="average the checkpoints into one "
+                             "parameter set instead of running a "
+                             "logit-ensemble (1 forward pass vs K)")
     args = parser.parse_args(argv)
 
     from .parallel.distributed import maybe_initialize
@@ -56,7 +60,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     exp = Experiment(args.config, train_mode=False)
     exp.build_model()
-    exp.restore_variables(args.checkpoints or None)
+    exp.restore_variables(args.checkpoints or None,
+                          average=args.average)
 
     for dataset in load_data_config(args.datasets):
         if args.grid:

@@ -792,17 +792,33 @@ class TPUManager:
         self._pending_opt_flat = load_flat(opt_path)
         log(f"Optimizer state staged from {opt_path}")
 
-    def restore(self, paths: Any) -> None:
-        """Restore parameters. A list of paths => checkpoint ensemble."""
+    def restore(self, paths: Any, average: bool = False) -> None:
+        """Restore parameters. A list of paths => checkpoint ensemble
+        (K param pytrees, runners average log-probs inside one jit).
+
+        ``average=True`` instead folds the K checkpoints into ONE
+        parameter set by uniform parameter averaging (the classic
+        transformer trick — Vaswani et al. averaged the last
+        checkpoints): one forward pass at decode instead of K, usually
+        within epsilon of the logit ensemble when the checkpoints come
+        from one run's tail. Averaging accumulates in float32 and
+        casts back to each leaf's dtype."""
         if isinstance(paths, str):
             paths = [paths]
         template = self.params_list[0]
         self.params_list = []
+        flats = []
         for path in paths:
-            flat = load_flat(path)
-            params = restore_into(template, flat)
-            self.params_list.append(self._place_params(params))
+            flats.append(load_flat(path))
             log(f"Restored variables from {path}")
+        if average and len(flats) > 1:
+            from .utils.average_checkpoints import average_flat
+            flats = [average_flat(flats)]
+            log(f"Averaged {len(paths)} checkpoints into one "
+                "parameter set")
+        for flat in flats:
+            self.params_list.append(
+                self._place_params(restore_into(template, flat)))
         meta = load_meta(paths[0])
         if meta:
             self.global_step = meta.get("step", self.global_step)

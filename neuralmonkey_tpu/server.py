@@ -103,11 +103,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("checkpoints", nargs="*",
                         help="checkpoint path(s); several = ensemble")
+    parser.add_argument("--average", action="store_true",
+                        help="average the checkpoints into one "
+                             "parameter set instead of a logit "
+                             "ensemble")
     args = parser.parse_args(argv)
 
     exp = Experiment(args.configuration, train_mode=False)
     exp.build_model()
-    exp.restore_variables(args.checkpoints or None)
+    exp.restore_variables(args.checkpoints or None,
+                          average=args.average)
     service = ModelService(exp)
 
     server = ThreadingHTTPServer((args.host, args.port),
