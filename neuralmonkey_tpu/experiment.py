@@ -61,6 +61,7 @@ class Experiment:
                  overwrite_output_dir: bool = False,
                  config_changes: Optional[List[str]] = None) -> None:
         self.config_path = config_path
+        self.config_changes = list(config_changes or [])
         self.train_mode = train_mode
         self.graph_built = False
         self.cont_index = -1
@@ -111,10 +112,22 @@ class Experiment:
             suffix = (f".cont-{self.cont_index}"
                       if self.cont_index > 0 else "")
             if is_main_process():
-                shutil.copyfile(
-                    self.config_path,
-                    os.path.join(self.output_dir,
-                                 f"experiment.ini{suffix}"))
+                ini_copy = os.path.join(self.output_dir,
+                                        f"experiment.ini{suffix}")
+                if self.config_changes:
+                    # a verbatim copy would lie about the run (CLI
+                    # overrides were applied on top of the file) —
+                    # write the EFFECTIVE config so later run/--cont
+                    # opens what actually trained; keep the pristine
+                    # original alongside
+                    from .config.parsing import write_file
+                    write_file(self.config.raw_config, ini_copy)
+                    shutil.copyfile(
+                        self.config_path,
+                        os.path.join(self.output_dir,
+                                     f"experiment.orig.ini{suffix}"))
+                else:
+                    shutil.copyfile(self.config_path, ini_copy)
                 self._save_git_info(suffix)
             # per-process log files on shared storage (plain
             # experiment.log on the main process, as the reference)

@@ -185,6 +185,9 @@ def run_on_dataset(tf_manager, runners, dataset: Dataset,
         for series_name, data in outputs.items():
             if series_name in dataset.series_outputs:
                 path = dataset.series_outputs[series_name]
+                parent = os.path.dirname(path)
+                if parent:
+                    os.makedirs(parent, exist_ok=True)
                 with open(path, "w", encoding="utf-8") as f:
                     for item in data:
                         if isinstance(item, list):

@@ -95,6 +95,28 @@ def test_restore_and_rerun(trained):
     assert outputs1["target"] == outputs2["target"]
 
 
+def test_provenance_copy_reflects_cli_overrides(trained):
+    """The experiment-dir INI copy must record the EFFECTIVE config:
+    opening it with a fresh Experiment (no overrides, as run/--cont
+    do) resolves the overridden output dir and hyperparameters, not
+    the original file's. The pristine original is kept alongside."""
+    _, out = trained
+    copy = os.path.join(out, "experiment.ini")
+    assert os.path.exists(os.path.join(out, "experiment.orig.ini"))
+    exp2 = Experiment(copy, train_mode=False)
+    assert exp2.output_dir == out
+    assert exp2.config.config_dict["main"]["epochs"] == 2
+    assert exp2.config.config_dict["encoder"][
+        "dropout_keep_prob"] == 1.0
+    # and it is self-sufficient for inference: restores + decodes
+    exp2.build_model()
+    exp2.restore_variables()
+    test_ds = load_dataset_from_files(
+        name="test", s_source="tests/data/test.en")
+    _, outputs = exp2.run_model(test_ds)
+    assert len(outputs["target"]) == 30
+
+
 def test_validation_score_fallback_directions():
     """Best-score fallback: direction-aware runtime_xent, None when no
     usable metric exists (regression: -inf used to be recorded as the
