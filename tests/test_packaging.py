@@ -42,7 +42,8 @@ def test_wheel_installs_package(installed):
 
 def test_console_scripts_exist(installed):
     for name in ("neuralmonkey-train", "neuralmonkey-run",
-                 "neuralmonkey-server", "neuralmonkey-logbook"):
+                 "neuralmonkey-server", "neuralmonkey-logbook",
+                 "neuralmonkey-average-checkpoints"):
         assert (installed / "bin" / name).exists(), name
 
 
