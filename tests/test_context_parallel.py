@@ -193,6 +193,35 @@ def test_context_parallel_transformer_matches_single_mesh(
     assert res[keys[0]][2] == res[keys[1]][2]
 
 
+def test_ring_composes_with_remat(monkeypatch):
+    """remat=True wraps each transformer layer in jax.checkpoint; the
+    ring shard_map must trace inside it and keep gradients equal to
+    the non-remat run (the repo's remat invariant)."""
+    ds = _toy_dataset()
+    losses = {}
+    for remat in (False, True):
+        enc = TransformerEncoder(
+            name="cp_r_src", vocabulary=_vocab(), data_id="source",
+            embedding_size=16, ff_hidden_size=32, depth=2, n_heads=4,
+            remat=remat)
+        dec = TransformerDecoder(
+            name="cp_r_tgt", vocabulary=_vocab(), data_id="target",
+            encoders=[enc], embedding_size=16, ff_hidden_size=32,
+            depth=2, n_heads_self=4, n_heads_enc=4, max_output_len=6,
+            tie_embeddings=False, remat=remat)
+        trainer = CrossEntropyTrainer(
+            decoders=[dec], clip_norm=1.0,
+            optimizer=AdamOptimizer(learning_rate=1e-3))
+        manager = TPUManager(num_context_shards=4, random_seed=0)
+        manager.initialize_model_parts([trainer], seed=0)
+        losses[remat] = [
+            manager.train_on_batch(trainer, ds, batch_size=16)["loss"]
+            for _ in range(2)]
+        disable_context_parallel()
+    assert losses[False][0] == pytest.approx(losses[True][0], rel=1e-5)
+    assert losses[False][1] == pytest.approx(losses[True][1], rel=1e-5)
+
+
 def test_context_mesh_shapes_and_rejections():
     manager = TPUManager(num_context_shards=4)
     assert dict(manager.mesh.shape) == {"data": 2, "context": 4}
