@@ -20,6 +20,10 @@ from . import nn
 
 NEG_INF = -1e9
 
+# one-time warning flag: CP configured but attention dropout forced
+# the dense path (only possible on jax without partial-auto shard_map)
+_WARNED_RING_DROPOUT = False
+
 
 def sinusoidal_position_encoding(length: int, dim: int,
                                  dtype=jnp.float32) -> jnp.ndarray:
@@ -155,13 +159,34 @@ def multi_head_attention(params: Dict,
     q = split_heads(nn.linear(params["q"], queries), n_heads)
     k = split_heads(nn.linear(params["k"], keys), n_heads)
     v = split_heads(nn.linear(params["v"], values), n_heads)
-    from ..parallel.ring_attention import ring_attention, ring_eligible
+    from ..parallel.ring_attention import (ring_attention,
+                                           ring_dropout_eligible,
+                                           ring_eligible)
     from .kernel_config import use_pallas
-    if (key_mask is not None and dropout_rng is None and bias is None
-            and ring_eligible(q.shape[2], k.shape[2])):
+    ring_ok = (key_mask is not None and bias is None
+               and ring_eligible(q.shape[2], k.shape[2]))
+    if ring_ok and dropout_rng is not None \
+            and not ring_dropout_eligible():
+        # old jax without partial-auto shard_map: the ring cannot draw
+        # consistent per-block dropout masks, so CP silently loses its
+        # memory scaling exactly in training configs — say so once
+        global _WARNED_RING_DROPOUT
+        if not _WARNED_RING_DROPOUT:
+            _WARNED_RING_DROPOUT = True
+            import warnings
+            warnings.warn(
+                "context parallelism is enabled but attention dropout "
+                "forces the dense O(T^2) path (this jax lacks "
+                "partial-auto jax.shard_map); long sequences will not "
+                "get the ring's memory scaling")
+        ring_ok = False
+    if ring_ok:
         # context parallelism: time axes sharded over the 'context'
-        # mesh axis, K/V blocks ride the ring (parallel/ring_attention)
-        out = ring_attention(q, k, v, key_mask, causal)
+        # mesh axis, K/V blocks ride the ring (parallel/ring_attention);
+        # attention dropout rides counter-based per-block keep masks
+        out = ring_attention(q, k, v, key_mask, causal,
+                             dropout_rng=dropout_rng,
+                             dropout_keep_prob=dropout_keep_prob)
     elif key_mask is not None and dropout_rng is None and use_pallas():
         from .pallas_attention import flash_attention
         out = flash_attention(q, k, v, key_mask, causal)

@@ -119,6 +119,14 @@ class TPUManager:
             raise ValueError(
                 "num_expert_shards cannot combine with "
                 "num_pipeline_stages")
+        if num_context_shards > 1 and num_model_shards > 1 \
+                and not hasattr(jax, "shard_map"):
+            # without partial-auto shard_map the ring's fallback makes
+            # ALL mesh axes manual, so the 'model' head sharding would
+            # silently stop composing (mirrors the PP x TP guard)
+            raise ValueError(
+                "num_context_shards + num_model_shards needs "
+                "partial-auto jax.shard_map (jax >= 0.4.32)")
         if num_context_shards > 1 and (num_pipeline_stages > 1
                                        or num_expert_shards > 1):
             raise ValueError(

@@ -25,8 +25,16 @@ def average_flat(flats: List[Dict[str, np.ndarray]]
             raise ValueError(
                 "Checkpoints have different parameter sets; "
                 f"e.g. {sorted(keys ^ set(flat))[:3]}")
-    return {key: np.mean([flat[key] for flat in flats], axis=0)
-            for key in keys}
+    # accumulate in float32 and cast back to the stored dtype (the
+    # runtime.restore docstring promises this; with bf16-saved leaves
+    # a plain same-dtype mean would lose a mantissa bit per add)
+    def mean(key):
+        stack = [flat[key] for flat in flats]
+        out = np.mean(stack, axis=0, dtype=np.float64
+                      if stack[0].dtype == np.float64 else np.float32)
+        return out.astype(stack[0].dtype)
+
+    return {key: mean(key) for key in keys}
 
 
 def average_checkpoints(paths: List[str], out_path: str) -> None:

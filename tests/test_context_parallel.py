@@ -6,6 +6,9 @@ scaling extension over the reserved sequence mesh axis (SURVEY.md §6).
 These tests run on the 8-device virtual CPU mesh from conftest.
 """
 
+import math
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,8 +24,9 @@ from neuralmonkey_tpu.ops.attention import (attention_bias_from_mask,
                                             dot_product_attention)
 from neuralmonkey_tpu.parallel import ring_attention as ring_mod
 from neuralmonkey_tpu.parallel.ring_attention import (
-    context_parallel_mesh, disable_context_parallel,
-    enable_context_parallel, ring_attention, ring_eligible)
+    blockwise_dropout_mask, context_parallel_mesh,
+    disable_context_parallel, enable_context_parallel, ring_attention,
+    ring_dropout_eligible, ring_eligible)
 from neuralmonkey_tpu.runners.runner import GreedyRunner
 from neuralmonkey_tpu.runtime import TPUManager
 from neuralmonkey_tpu.trainers.cross_entropy_trainer import \
@@ -103,6 +107,114 @@ def test_ring_gradients_match_dense(causal):
         argnums=(0, 1, 2)))(q, k, v)
     g_ref = jax.grad(
         loss(lambda q, k, v: _reference(q, k, v, mask, causal)),
+        argnums=(0, 1, 2))(q, k, v)
+    for got, want in zip(g_ring, g_ref):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-5, atol=3e-6)
+
+
+def test_ring_contiguous_causal_fallback_matches_dense():
+    """Odd per-device block (12/4 = 3): zigzag is ineligible, the
+    contiguous causal schedule must still be exact."""
+    enable_context_parallel(_mesh())
+    q, k, v, mask = _rand_attention(jax.random.PRNGKey(6), tq=12,
+                                    tk=12)
+    got = jax.jit(ring_attention, static_argnames="causal")(
+        q, k, v, mask, causal=True)
+    want = _reference(q, k, v, mask, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_zigzag_halves_causal_ring_flops():
+    """The zigzag schedule's whole point (VERDICT r2 item 4b): the
+    contiguous causal ring computes every above-diagonal block only to
+    mask it, so zigzag's per-device FLOPs must come in well under —
+    asserted via compiled cost analysis (wall-clock is meaningless on
+    the virtual mesh)."""
+    enable_context_parallel(_mesh(dp=1, cp=8))
+    q, k, v, mask = _rand_attention(jax.random.PRNGKey(8), batch=2,
+                                    tq=128, tk=128, dh=16)
+
+    def flops(schedule):
+        fn = jax.jit(ring_attention,
+                     static_argnames=("causal", "schedule"))
+        comp = fn.lower(q, k, v, mask, causal=True,
+                        schedule=schedule).compile()
+        cost = comp.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return cost["flops"]
+
+    zig, contig = flops("zigzag"), flops("contiguous")
+    assert zig < 0.75 * contig, (zig, contig)
+
+
+def _dense_with_keep(q, k, v, mask, causal, keep, keep_prob):
+    """Dense attention applying a GIVEN keep-mask (the blockwise mask
+    the ring draws) with dense-dropout semantics."""
+    bias = attention_bias_from_mask(mask)
+    if causal:
+        bias = bias + causal_bias(k.shape[2])[:, :, :q.shape[2], :]
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32
+                        ) * scale + bias
+    w = jax.nn.softmax(scores, axis=-1)
+    w = jnp.where(keep, w / keep_prob, 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32
+                      ).astype(v.dtype)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("tq", [16, 12])
+def test_ring_dropout_matches_dense_blockwise(causal, tq):
+    """Attention dropout inside the ring (VERDICT r2 item 4a): the
+    counter-based per-block keep masks reassemble into exactly the
+    dense result — across both schedules (tq=16 → zigzag when causal,
+    tq=12 → contiguous)."""
+    assert ring_dropout_eligible()
+    enable_context_parallel(_mesh())
+    q, k, v, mask = _rand_attention(jax.random.PRNGKey(9), tq=tq,
+                                    tk=tq)
+    rng = jax.random.PRNGKey(11)
+    keep_prob = 0.75
+    got = jax.jit(ring_attention,
+                  static_argnames=("causal", "dropout_keep_prob"))(
+        q, k, v, mask, causal=causal, dropout_rng=rng,
+        dropout_keep_prob=keep_prob)
+    keep = blockwise_dropout_mask(rng, keep_prob, q.shape[0],
+                                  q.shape[1], tq, tq, 4, causal)
+    want = _dense_with_keep(q, k, v, mask, causal, keep, keep_prob)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_ring_dropout_gradients_match_dense(causal=True):
+    """Autodiff through the dropped ring equals the dense gradients
+    with the same blockwise keep-mask."""
+    enable_context_parallel(_mesh())
+    q, k, v, mask = _rand_attention(jax.random.PRNGKey(12))
+    w = jax.random.normal(jax.random.PRNGKey(13), q.shape)
+    rng = jax.random.PRNGKey(14)
+    keep_prob = 0.75
+    keep = blockwise_dropout_mask(rng, keep_prob, q.shape[0],
+                                  q.shape[1], 16, 16, 4, causal)
+
+    def loss(fn):
+        def inner(q, k, v):
+            return jnp.sum(fn(q, k, v) * w)
+        return inner
+
+    g_ring = jax.jit(jax.grad(
+        loss(lambda q, k, v: ring_attention(
+            q, k, v, mask, causal, dropout_rng=rng,
+            dropout_keep_prob=keep_prob)),
+        argnums=(0, 1, 2)))(q, k, v)
+    g_ref = jax.grad(
+        loss(lambda q, k, v: _dense_with_keep(
+            q, k, v, mask, causal, keep, keep_prob)),
         argnums=(0, 1, 2))(q, k, v)
     for got, want in zip(g_ring, g_ref):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -220,6 +332,34 @@ def test_ring_composes_with_remat(monkeypatch):
         disable_context_parallel()
     assert losses[False][0] == pytest.approx(losses[True][0], rel=1e-5)
     assert losses[False][1] == pytest.approx(losses[True][1], rel=1e-5)
+
+
+def test_context_parallel_ini_driven(tmp_path, monkeypatch):
+    """[tf_manager] num_context_shards flows from the INI through the
+    config builder into the mesh, and attention dropout keeps the ring
+    engaged (counter-based blockwise masks) — the full product path
+    the docs describe (docs/configuration.md)."""
+    calls = {"n": 0}
+    real = ring_mod.ring_attention
+
+    def counted(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(ring_mod, "ring_attention", counted)
+    from neuralmonkey_tpu.experiment import Experiment
+    config = os.path.join(os.path.dirname(__file__), "configs",
+                          "transformer.ini")
+    exp = Experiment(
+        config, train_mode=True,
+        config_changes=[f'main.output="{tmp_path}/cp_ini"',
+                        "main.logging_period=10", "main.epochs=1",
+                        "tf_manager.num_context_shards=2",
+                        "encoder.attention_dropout_keep_prob=0.9",
+                        "decoder.attention_dropout_keep_prob=0.9"])
+    exp.train()
+    assert context_parallel_mesh() is not None
+    assert calls["n"] > 0
 
 
 def test_context_mesh_shapes_and_rejections():
