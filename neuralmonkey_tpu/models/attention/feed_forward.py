@@ -68,8 +68,10 @@ class Attention(BaseAttention):
         projected_query = nn.linear(params["query_proj"], query)
         from ...ops.kernel_config import use_pallas
         if use_pallas():
-            from ...ops.pallas_attention import fused_bahdanau_step
-            return fused_bahdanau_step(
+            # mesh-aware: shard_map-wrapped per data shard on
+            # multi-device data(/model) meshes (kernel_config.note_mesh)
+            from ...ops.pallas_attention import bahdanau_step_dispatch
+            return bahdanau_step_dispatch(
                 constants.keys, constants.states, constants.mask,
                 projected_query, params["similarity_v"])
         energies = jnp.einsum(

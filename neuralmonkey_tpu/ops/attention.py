@@ -180,6 +180,7 @@ def multi_head_attention(params: Dict,
                 "partial-auto jax.shard_map); long sequences will not "
                 "get the ring's memory scaling")
         ring_ok = False
+    out = None
     if ring_ok:
         # context parallelism: time axes sharded over the 'context'
         # mesh axis, K/V blocks ride the ring (parallel/ring_attention);
@@ -188,9 +189,19 @@ def multi_head_attention(params: Dict,
                              dropout_rng=dropout_rng,
                              dropout_keep_prob=dropout_keep_prob)
     elif key_mask is not None and dropout_rng is None and use_pallas():
-        from .pallas_attention import flash_attention
-        out = flash_attention(q, k, v, key_mask, causal)
-    else:
+        from .kernel_config import spmd_wrap_mesh
+        from .pallas_attention import (flash_attention,
+                                       flash_attention_sharded,
+                                       flash_sharded_ok)
+        if spmd_wrap_mesh() is None:
+            out = flash_attention(q, k, v, key_mask, causal)
+        elif flash_sharded_ok(q):
+            # multi-device data(/model) mesh: the kernel runs per
+            # shard inside a fully-manual shard_map — single-chip
+            # kernel perf survives scale-out (kernel_config.note_mesh)
+            out = flash_attention_sharded(q, k, v, key_mask, causal)
+        # else: batch/heads don't divide the mesh — dense path below
+    if out is None:
         if bias is None and key_mask is not None:
             bias = attention_bias_from_mask(key_mask)
             if causal:

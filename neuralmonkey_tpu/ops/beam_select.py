@@ -167,6 +167,24 @@ def small_topk(x: jnp.ndarray, k: int, force_pallas: bool = None
     enabled = use_pallas() if force_pallas is None else force_pallas
     if not enabled or x.dtype != jnp.float32:
         return _topk_reference(x, k)
+    from .kernel_config import spmd_wrap_mesh
+    mesh = spmd_wrap_mesh()
+    if mesh is not None:
+        # multi-device data(/model) mesh: run the kernel per data
+        # shard of the row axis (kernel_config.note_mesh rationale); the
+        # kernel pads rows internally so only divisibility gates
+        if x.shape[0] % mesh.shape.get("data", 1):
+            return _topk_reference(x, k)
+        from jax.sharding import PartitionSpec as P
+
+        def body(x_):
+            return _topk_pallas(x_, k)
+
+        wrapped = jax.shard_map(
+            body, mesh=mesh, in_specs=(P("data", None),),
+            out_specs=(P("data", None), P("data", None)),
+            check_vma=False)
+        return wrapped(x)
     return _topk_pallas(x, k)
 
 
@@ -184,4 +202,18 @@ def rowmax_lse(x: jnp.ndarray, force_pallas: bool = None
     if (not enabled or n % SUBLANES != 0 or vp % LANE != 0
             or x.dtype != jnp.float32):
         return _rowmax_lse_reference(x)
+    from .kernel_config import spmd_wrap_mesh
+    mesh = spmd_wrap_mesh()
+    if mesh is not None:
+        # per-data-shard rows must stay a multiple of the kernel's
+        # 8-row sublane grid
+        dp = mesh.shape.get("data", 1)
+        if n % dp or (n // dp) % SUBLANES:
+            return _rowmax_lse_reference(x)
+        from jax.sharding import PartitionSpec as P
+        wrapped = jax.shard_map(
+            _rowmax_lse_pallas, mesh=mesh, in_specs=(P("data", None),),
+            out_specs=(P("data", None), P("data")),
+            check_vma=False)
+        return wrapped(x)
     return _rowmax_lse_pallas(x)

@@ -472,6 +472,42 @@ def _flash_bwd(causal, block_q, block_kv, residuals, g):
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
+def flash_sharded_ok(q) -> bool:
+    """Whether the active multi-device mesh can shard_map-wrap the
+    flash kernel for this operand: batch divides 'data', heads divide
+    'model' (kernel_config.note_mesh rationale)."""
+    from .kernel_config import spmd_wrap_mesh
+    mesh = spmd_wrap_mesh()
+    if mesh is None:
+        return False
+    return (q.shape[0] % mesh.shape.get("data", 1) == 0
+            and q.shape[1] % mesh.shape.get("model", 1) == 0)
+
+
+def flash_attention_sharded(q, k, v, mask, causal: bool = False):
+    """Flash attention on a multi-device ('data'[, 'model']) mesh:
+    fully-manual shard_map, batch split over 'data' and heads over
+    'model' (the kernel is per-head, so head-manual is exact). The
+    per-shard body is the single-chip kernel + its VJP, so gradients
+    ride through unchanged. Caller checked :func:`flash_sharded_ok`.
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from .kernel_config import spmd_wrap_mesh
+    mesh = spmd_wrap_mesh()
+    hm = "model" if mesh.shape.get("model", 1) > 1 else None
+    qspec = P("data", hm, None, None)
+
+    def body(q_, k_, v_, m_):
+        return flash_attention(q_, k_, v_, m_, causal)
+
+    wrapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(qspec, qspec, qspec, P("data", None)),
+        out_specs=qspec, check_vma=False)
+    return wrapped(q, k, v, mask)
+
+
 # ---------------------------------------------------------------------- #
 # fused Bahdanau decoder step
 # ---------------------------------------------------------------------- #
@@ -576,3 +612,34 @@ def _bahdanau_bwd(batch_tile, residuals, grads):
 
 
 fused_bahdanau_step.defvjp(_bahdanau_fwd, _bahdanau_bwd)
+
+
+def bahdanau_step_dispatch(keys, states, mask, projected_query,
+                           similarity_v):
+    """Mesh-aware dispatch for the fused Bahdanau step: single device
+    calls the kernel directly; a data(/model) mesh shard_map-wraps it
+    per batch shard with ``similarity_v`` replicated (its cotangent is
+    psummed over the manual axes by the shard_map transpose); a
+    non-dividing batch or an ineligible mesh falls back to the pure
+    reference."""
+    import jax
+    from .kernel_config import spmd_wrap_mesh
+    mesh = spmd_wrap_mesh()
+    if mesh is None:
+        return fused_bahdanau_step(keys, states, mask,
+                                   projected_query, similarity_v)
+    if keys.shape[0] % mesh.shape.get("data", 1):
+        return _reference_bahdanau(keys, states, mask,
+                                   projected_query, similarity_v)
+    from jax.sharding import PartitionSpec as P
+
+    def body(k_, s_, m_, pq_, v_):
+        return fused_bahdanau_step(k_, s_, m_, pq_, v_)
+
+    wrapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", None, None), P("data", None, None),
+                  P("data", None), P("data", None), P()),
+        out_specs=(P("data", None), P("data", None)),
+        check_vma=False)
+    return wrapped(keys, states, mask, projected_query, similarity_v)

@@ -34,6 +34,33 @@ def _pallas_cell_kind(cell):
     return None
 
 
+def _sharded_scan(scan_fn, params, inputs, mask, *static):
+    """Dispatch a fused Pallas scan, shard_map-wrapping it per data
+    shard on a multi-device mesh (kernel_config.note_mesh rationale):
+    params ride replicated (their BPTT cotangents are psummed over the
+    manual axes by the shard_map transpose), inputs/outputs split
+    their batch axis over 'data'. Returns None when the batch does not
+    divide the data axis — the caller falls back to the XLA scan."""
+    from .kernel_config import spmd_wrap_mesh
+    mesh = spmd_wrap_mesh()
+    if mesh is None:
+        return scan_fn(params, inputs, mask, *static)
+    if inputs.shape[0] % mesh.shape.get("data", 1):
+        return None
+    from jax.sharding import PartitionSpec as P
+    pspec = jax.tree_util.tree_map(lambda _: P(), params)
+
+    def body(p, x, m):
+        return scan_fn(p, x, m, *static)
+
+    wrapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspec, P("data", None, None), P("data", None)),
+        out_specs=(P("data", None, None), P("data", None)),
+        check_vma=False)
+    return wrapped(params, inputs, mask)
+
+
 def unidirectional_rnn(cell, params, inputs: jnp.ndarray,
                        mask: jnp.ndarray,
                        reverse: bool = False,
@@ -69,12 +96,17 @@ def unidirectional_rnn(cell, params, inputs: jnp.ndarray,
                 # MXU; the serial kernel computes f32 internally and
                 # returns f32 states — exactly the XLA path's
                 # f32-carry semantics
-                return gru_scan(params, inputs, mask, reverse)
+                res = _sharded_scan(gru_scan, params, inputs, mask,
+                                    reverse)
+                if res is not None:
+                    return res
         elif kind == "lstm":
             from .pallas_rnn import lstm_fits_vmem, lstm_scan
             if lstm_fits_vmem(inputs.shape[1], cell.hidden_dim):
-                return lstm_scan(params, inputs, mask, reverse,
-                                 cell.forget_bias)
+                res = _sharded_scan(lstm_scan, params, inputs, mask,
+                                    reverse, cell.forget_bias)
+                if res is not None:
+                    return res
     batch = inputs.shape[0]
     time = inputs.shape[1]
     x_tm = jnp.swapaxes(inputs, 0, 1)          # (T, B, D)

@@ -77,7 +77,7 @@ class TPUManager:
         # contract). A previous manager in the same process may have
         # registered a mesh this run does not use — clear ALL of them
         # first, then re-enable below per this manager's config.
-        from .ops.kernel_config import reset_multi_device_note
+        from .ops.kernel_config import note_mesh
         from .ops.moe import disable_expert_sharding
         from .ops.sharding import disable_sequence_sharding
         from .parallel.pipeline import disable_pipeline
@@ -86,7 +86,7 @@ class TPUManager:
         disable_expert_sharding()
         disable_sequence_sharding()
         disable_context_parallel()
-        reset_multi_device_note()
+        note_mesh(None)
         # mesh: ('data',) by default; ('data', 'model') shards the
         # vocab-sized matmuls (embeddings / logit projection) over the
         # model axis — XLA inserts the collectives from the parameter
@@ -215,12 +215,12 @@ class TPUManager:
                 if n_proc > 1 else "")
         log(f"TPUManager: {self.n_devices} device(s) "
             f"[{devices[0].platform}], mesh {self.mesh.shape}{proc}")
-        if self.n_devices > 1:
-            # Pallas calls have no SPMD partitioning rules; on a
-            # multi-device mesh the pure-JAX paths (which GSPMD shards
-            # transparently) are used instead. NM_USE_PALLAS=1 overrides.
-            from .ops.kernel_config import note_multi_device_mesh
-            note_multi_device_mesh()
+        # register the mesh for kernel dispatch: on data(/model)
+        # meshes the Pallas kernels stay ON, shard_map-wrapped per
+        # shard (kernel_config.note_mesh); other meshes fall back to the
+        # sharding-transparent pure-JAX paths. NM_SPMD_PALLAS=0 and
+        # NM_USE_PALLAS=0/1 override.
+        note_mesh(self.mesh)
 
         if sequence_sharding:
             # Megatron-style sequence parallelism: the transformer
