@@ -38,6 +38,113 @@ T_DIM = int(os.environ.get("BENCH_T_DIM", 512))
 T_FF = int(os.environ.get("BENCH_T_FF", 2048))
 T_DEPTH = int(os.environ.get("BENCH_T_DEPTH", 6))
 T_HEADS = int(os.environ.get("BENCH_T_HEADS", 8))
+# fallback matmul ceiling of THIS tunneled chip (the round-2 ~34 TF
+# f32-as-bf16 measurement on isolated 4096^3 matmuls) — the bench
+# re-measures at run time (measure_matmul_ceiling) because the model
+# steps themselves sustain ~37 TF/s, proving the old number was an
+# underestimate; BENCH_TFLOPS_CEILING overrides both
+_TFLOPS_FALLBACK = 34e12
+
+
+def measure_matmul_ceiling() -> float:
+    """Peak sustained matmul FLOP/s on this chip, measured with the
+    models' own semantics (f32 operands, default precision = one bf16
+    MXU pass with f32 accumulation). Protocol per CLAUDE.md: the
+    matmul chain loops ON DEVICE inside one jit (lax.scan with a
+    value-feedback carry so XLA cannot elide iterations) and syncs
+    once via a host transfer."""
+    env = os.environ.get("BENCH_TFLOPS_CEILING")
+    if env:
+        return float(env)
+    import jax
+    import jax.numpy as jnp
+    n, iters = 4096, 24
+
+    @jax.jit
+    def chain(x, w):
+        def body(c, _):
+            # feedback keeps every iteration data-dependent
+            return jnp.dot(c, w), ()
+        y, _ = jax.lax.scan(body, x, None, length=iters)
+        return y[:8, :8]
+
+    x = jnp.eye(n, dtype=jnp.float32)  # identity: no overflow growth
+    w = jnp.eye(n, dtype=jnp.float32) * 1.0001
+    _ = np.asarray(chain(x, w))        # compile + warm
+    start = time.perf_counter()
+    _ = np.asarray(chain(x, w))
+    elapsed = time.perf_counter() - start
+    return max(2.0 * n ** 3 * iters / elapsed, _TFLOPS_FALLBACK)
+
+
+def analytic_flops() -> dict:
+    """Matmul-dominant analytic FLOPs for the four headline workloads,
+    mechanizing docs/performance.md's derivation from the bench shape
+    constants (VERDICT r2 item 3): 2·m·n·k per (m,k)x(k,n) matmul,
+    summed over the model's mathematical formulation — independent of
+    how XLA lowers it, so a lowering change that halves MXU
+    utilization at unchanged analytic FLOPs shows up as a drop in
+    achieved TFLOP/s. Elementwise/softmax/norm work is excluded (<~2%
+    at these shapes) and causal attention is counted at its dense
+    T^2 math, so MFU is approximate but stable. Backward = 2x forward
+    (each forward matmul transposes into two)."""
+    B, Ts, Tt = BATCH, SRC_LEN, MAX_OUT
+    E, R, V, K = EMB, RNN, VOCAB, BEAM
+    C = 2 * R                       # BiGRU context dim
+
+    # --- RNN flagship: BiGRU encoder + conditional-GRU decoder ------
+    enc_fwd = 2 * (2 * B * Ts * E * 3 * R     # input gates, both dirs
+                   + 2 * B * Ts * R * 3 * R)  # recurrent gates
+    keys_fwd = 2 * B * Ts * C * R             # Bahdanau key precompute
+
+    def rnn_dec_step(rows):
+        return (2 * rows * E * 3 * R          # cell1 input gates
+                + 2 * rows * R * 3 * R        # cell1 recurrent
+                + 2 * rows * C * 3 * R        # cell2 context input
+                + 2 * rows * R * 3 * R        # cell2 recurrent
+                + 2 * rows * R * R            # attention query proj
+                + 2 * rows * Ts * R           # energies v-dot
+                + 2 * rows * Ts * C           # context weighted sum
+                + 2 * rows * (R + E + C) * 2 * E  # maxout prelogit
+                + 2 * rows * E * V)           # logits
+    rnn_fwd = enc_fwd + keys_fwd + Tt * rnn_dec_step(B)
+
+    # --- Transformer 512d/2048ff/6+6L ------------------------------
+    F, L = T_FF, T_DEPTH
+
+    def t_enc_layer():
+        return (4 * 2 * B * Ts * E * E        # q,k,v,o projections
+                + 4 * B * Ts * Ts * E         # scores + context
+                + 2 * 2 * B * Ts * E * F)     # FFN in+out
+
+    def t_dec_layer():
+        return (4 * 2 * B * Tt * E * E        # self q,k,v,o
+                + 4 * B * Tt * Tt * E         # self attn (dense math)
+                + 2 * 2 * B * Tt * E * E      # cross q,o
+                + 2 * 2 * B * Ts * E * E      # cross k,v
+                + 4 * B * Tt * Ts * E         # cross attn
+                + 2 * 2 * B * Tt * E * F)     # FFN
+    t_fwd = (L * t_enc_layer() + L * t_dec_layer()
+             + 2 * B * Tt * E * V)            # logit projection
+
+    # --- beam decode (B·K rows, incremental caches) -----------------
+    rows = B * K
+    rnn_decode = enc_fwd + keys_fwd + Tt * rnn_dec_step(rows)
+    tri = Tt * (Tt + 1) // 2                  # growing self-att cache
+    t_steps = (L * (4 * 2 * rows * E * E * Tt  # self q,k,v,o per token
+                    + 4 * rows * E * tri       # self attn vs cache
+                    + 2 * 2 * rows * E * E * Tt  # cross q,o
+                    + 4 * rows * Ts * E * Tt     # cross attn
+                    + 2 * 2 * rows * E * F * Tt)  # FFN
+               + 2 * rows * E * V * Tt)           # logits
+    t_decode = (L * t_enc_layer()                 # encoder, batch B
+                + L * 2 * 2 * B * Ts * E * E      # cross k/v, shared
+                + t_steps)
+
+    return {"rnn_train_step": 3 * rnn_fwd,
+            "transformer_train_step": 3 * t_fwd,
+            "rnn_decode_batch": rnn_decode,
+            "transformer_decode_batch": t_decode}
 
 
 def build(batch_size: int):
@@ -521,6 +628,71 @@ def synthesize_digit_corpus(directory: str, n_sentences: int = 2000,
     return src, tgt
 
 
+def _quality_e2e_visual(model: str, root: str, data: str, out: str,
+                        t0: float) -> dict:
+    """Milestones 4-5 on the real chip (VERDICT r2 item 2): train the
+    captioning / multimodal INIs through the product path and score
+    absolute BLEU on train+val (the corpora encode the target text in
+    the image features — tests/data/gen_multimodal.py — so these are
+    convergence gates, not smoke tests)."""
+    from neuralmonkey_tpu.dataset import load_dataset_from_files
+    from neuralmonkey_tpu.evaluators.bleu import BLEU
+    from neuralmonkey_tpu.experiment import Experiment
+    from neuralmonkey_tpu.readers.numpy_reader import single_tensor
+
+    if model == "captioning":
+        config = os.path.join(root, "tests", "configs",
+                              "captioning.ini")
+        changes = [f'main.output="{out}/exp"', "main.epochs=12",
+                   "main.validation_period=50000",
+                   "main.logging_period=100",
+                   "decoder.dropout_keep_prob=1.0"]
+        series = "caption"
+        train_kw = dict(
+            s_feats=(os.path.join(data, "caption_feats.npy"),
+                     single_tensor),
+            s_caption=os.path.join(data, "captions_train.txt"))
+        val_kw = dict(
+            s_feats=(os.path.join(data, "caption_feats_val.npy"),
+                     single_tensor),
+            s_caption=os.path.join(data, "captions_val.txt"))
+    else:
+        config = os.path.join(root, "tests", "configs",
+                              "hier_multimodal.ini")
+        changes = [f'main.output="{out}/exp"', "main.epochs=10",
+                   "main.validation_period=50000",
+                   "main.logging_period=100",
+                   "decoder.dropout_keep_prob=1.0",
+                   "text_encoder.dropout_keep_prob=1.0"]
+        series = "target"
+        train_kw = dict(
+            s_source=os.path.join(data, "mmt_src_train.txt"),
+            s_target=os.path.join(data, "mmt_tgt_train.txt"),
+            s_feats=(os.path.join(data, "mmt_feats_train.npy"),
+                     single_tensor))
+        val_kw = dict(
+            s_source=os.path.join(data, "mmt_src_val.txt"),
+            s_target=os.path.join(data, "mmt_tgt_val.txt"),
+            s_feats=(os.path.join(data, "mmt_feats_val.npy"),
+                     single_tensor))
+
+    exp = Experiment(config, train_mode=True, config_changes=changes)
+    exp.train()
+    train_s = time.time() - t0
+
+    def bleu(kw, limit=None):
+        ds = load_dataset_from_files(name="q", **kw)
+        _, outputs = exp.run_model(ds)
+        refs = list(ds.get_series(series))
+        n = limit or len(refs)
+        return round(BLEU(outputs[series][:n], refs[:n]), 2)
+
+    return {"train_greedy_bleu": bleu(train_kw, limit=100),
+            "val_greedy_bleu": bleu(val_kw),
+            "train_wall_s": round(train_s, 1),
+            "total_wall_s": round(time.time() - t0, 1)}
+
+
 def quality_e2e(model: str = "rnn") -> dict:
     """End-to-end convergence ON THE REAL CHIP: train the quality-gate
     configs (the same tests/configs INIs that tests/test_quality_gates.py
@@ -539,6 +711,11 @@ def quality_e2e(model: str = "rnn") -> dict:
     data = os.path.join(root, "tests", "data")
     out = tempfile.mkdtemp(prefix="bench_quality_")
     t0 = time.time()
+    if model in ("captioning", "multimodal"):
+        try:
+            return _quality_e2e_visual(model, root, data, out, t0)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
     try:
         if model == "transformer":
             # synthesized corpus (the checked-in 300 sentences are too
@@ -678,8 +855,10 @@ def main() -> None:
 
     if "--quality" in sys.argv:
         import jax
-        model = ("transformer" if "--model=transformer" in sys.argv
-                 else "rnn")
+        model = "rnn"
+        for candidate in ("transformer", "captioning", "multimodal"):
+            if f"--model={candidate}" in sys.argv:
+                model = candidate
         result = quality_e2e(model)
         result.update({"metric": f"{model}_e2e_convergence_bleu",
                        "platform": jax.devices()[0].platform})
@@ -785,6 +964,42 @@ def main() -> None:
              lambda: round(lineage_flip_rate("rnn"), 5))
         _try("transformer_lineage_flip_rate",
              lambda: round(lineage_flip_rate("transformer"), 5))
+
+    # achieved TFLOP/s + MFU for the four headline metrics (VERDICT
+    # r2 item 3): analytic model FLOPs / measured wall time, against
+    # the chip's MEASURED matmul ceiling — catches an MXU-utilization
+    # regression that tok/s alone would hide
+    flops = analytic_flops()
+    try:
+        ceiling = measure_matmul_ceiling()
+    except Exception as exc:
+        print(f"bench: ceiling measurement failed ({exc}); "
+              "using fallback", file=sys.stderr)
+        ceiling = _TFLOPS_FALLBACK
+
+    def _mfu_entry(flops_per_unit, units_per_sec):
+        achieved = flops_per_unit * units_per_sec
+        return {"achieved_tflops": round(achieved / 1e12, 2),
+                "mfu_vs_measured_ceiling": round(
+                    achieved / ceiling, 3)}
+
+    mfu = {"rnn_beam10_decode": _mfu_entry(
+        flops["rnn_decode_batch"], tpu_rate / BATCH)}
+    if extra.get("transformer_beam10_sentences_per_sec"):
+        mfu["transformer_beam10_decode"] = _mfu_entry(
+            flops["transformer_decode_batch"],
+            extra["transformer_beam10_sentences_per_sec"] / BATCH)
+    if extra.get("rnn_train_tokens_per_sec"):
+        mfu["rnn_train"] = _mfu_entry(
+            flops["rnn_train_step"],
+            extra["rnn_train_tokens_per_sec"] / (BATCH * MAX_OUT))
+    if extra.get("transformer_train_tokens_per_sec"):
+        mfu["transformer_train"] = _mfu_entry(
+            flops["transformer_train_step"],
+            extra["transformer_train_tokens_per_sec"]
+            / (BATCH * MAX_OUT))
+    mfu["measured_ceiling_tflops"] = round(ceiling / 1e12, 2)
+    extra["mfu"] = mfu
 
     line = {
         "metric": "beam10_decoded_sentences_per_sec_per_chip",
