@@ -844,8 +844,99 @@ def serve_latency(model: str = "rnn", requests: int = 50) -> dict:
     return out
 
 
+def serve_concurrent(clients: int = 32, per_client: int = 5,
+                     window_ms: float = 10.0) -> dict:
+    """End-to-end HTTP serving throughput with dynamic micro-batching
+    (VERDICT r2 item 8): boots the REAL server stack (ThreadingHTTPServer
+    + ModelService + Experiment.run_model) and compares one sequential
+    client against `clients` concurrent clients. Batch-1 requests are
+    relay-round-trip-bound (~30-40 ms, BASELINE.md), so without request
+    coalescing concurrent throughput would equal the single-client
+    number; the micro-batcher merges concurrent bodies into one jitted
+    decode per window."""
+    import tempfile
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from neuralmonkey_tpu.experiment import Experiment
+    from neuralmonkey_tpu.server import ModelService, make_handler
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    config = os.path.join(root, "tests", "configs", "small.ini")
+    out = tempfile.mkdtemp(prefix="nm_serve_bench_")
+    exp = Experiment(config, train_mode=False,
+                     config_changes=[f'main.output="{out}"'])
+    cwd = os.getcwd()
+    os.chdir(root)  # small.ini's data paths are repo-relative
+    try:
+        exp.build_model()  # random init — serving overhead, not quality
+    finally:
+        os.chdir(cwd)
+
+    service = ModelService(exp, batch_window_ms=window_ms)
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(service))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    digits = ("one two three", "nine eight seven", "five four",
+              "two six", "seven one five four", "eight one three")
+
+    def post(i: int) -> None:
+        body = json.dumps({"source": [digits[i % len(digits)]]})
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/run", data=body.encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            resp.read()
+
+    try:
+        for i in range(3):   # compile + warm every time bucket
+            post(i)
+
+        n_single = 40
+        start = time.perf_counter()
+        for i in range(n_single):
+            post(i)
+        single_rps = n_single / (time.perf_counter() - start)
+
+        calls_before = service.stats["model_calls"]
+        threads = [threading.Thread(
+            target=lambda c=c: [post(c * per_client + j)
+                                for j in range(per_client)])
+            for c in range(clients)]
+        start = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        elapsed = time.perf_counter() - start
+        total = clients * per_client
+        return {
+            "single_client_rps": round(single_rps, 1),
+            "concurrent_rps": round(total / elapsed, 1),
+            "speedup": round(total / elapsed / single_rps, 2),
+            "clients": clients,
+            "requests": total,
+            "model_calls": service.stats["model_calls"] - calls_before,
+            "max_merged_requests":
+                service.stats["max_merged_requests"],
+            "batch_window_ms": window_ms,
+        }
+    finally:
+        service.close()
+        server.shutdown()
+
+
 def main() -> None:
     if "--serve" in sys.argv:
+        if "--concurrent" in sys.argv:
+            print(json.dumps({
+                "metric": "serve_concurrent_throughput",
+                "value": serve_concurrent(),
+                "unit": "requests/sec, HTTP end-to-end"}))
+            return
         for model in ("rnn", "transformer"):
             print(json.dumps({
                 "metric": f"{model}_serve_latency",

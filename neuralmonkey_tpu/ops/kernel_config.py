@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 from functools import lru_cache
+from typing import Any, Optional
 
 
 @lru_cache(maxsize=1)
@@ -59,7 +60,7 @@ def _pallas_compiles() -> bool:
 _ACTIVE_MESH = None
 
 
-def note_mesh(mesh) -> None:
+def note_mesh(mesh: Optional[Any]) -> None:
     """Called by the runtime with its device mesh (or ``None`` to
     reset, e.g. when a fresh single-device manager is built after a
     multi-device one in the same process).

@@ -472,7 +472,7 @@ def _flash_bwd(causal, block_q, block_kv, residuals, g):
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
-def flash_sharded_ok(q) -> bool:
+def flash_sharded_ok(q: jnp.ndarray) -> bool:
     """Whether the active multi-device mesh can shard_map-wrap the
     flash kernel for this operand: batch divides 'data', heads divide
     'model' (kernel_config.note_mesh rationale)."""
@@ -614,8 +614,10 @@ def _bahdanau_bwd(batch_tile, residuals, grads):
 fused_bahdanau_step.defvjp(_bahdanau_fwd, _bahdanau_bwd)
 
 
-def bahdanau_step_dispatch(keys, states, mask, projected_query,
-                           similarity_v):
+def bahdanau_step_dispatch(keys: jnp.ndarray, states: jnp.ndarray,
+                           mask: jnp.ndarray,
+                           projected_query: jnp.ndarray,
+                           similarity_v: jnp.ndarray) -> jnp.ndarray:
     """Mesh-aware dispatch for the fused Bahdanau step: single device
     calls the kernel directly; a data(/model) mesh shard_map-wraps it
     per batch shard with ``similarity_v`` replicated (its cotangent is

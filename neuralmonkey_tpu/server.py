@@ -12,8 +12,21 @@ applied) or pre-tokenized lists. The model is built and restored once at
 startup; each request becomes an in-memory Dataset and runs through the
 standard runner path (one jitted call per batch).
 
+Dynamic request micro-batching: batch-1 request latency through the
+device relay is dominated by the round trip (~30-40 ms measured —
+BASELINE.md), so per-request dispatch caps server throughput at
+1/latency regardless of the chip's batch throughput. Concurrent
+requests are therefore coalesced: a request enqueues and a single
+worker drains the queue, waiting up to ``batch_window_ms`` after the
+first pending request for stragglers, merges all compatible payloads
+(same series-name set) into ONE dataset, runs the model once, and
+splits the outputs back per request. Results are byte-identical to
+per-request runs because inference iterates datasets in order and
+batch padding is semantically inert (masks). ``batch_window_ms=0``
+still coalesces whatever is already queued — it only skips the wait.
+
 Usage: python -m neuralmonkey_tpu.server --configuration exp.ini
-           [--port 5000] [--preprocess '{"source": [...]}' ]
+           [--port 5000] [--batch-window-ms 10] [--max-batch 256]
 """
 
 from __future__ import annotations
@@ -22,6 +35,7 @@ import argparse
 import json
 import sys
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional
 
@@ -30,30 +44,152 @@ from .experiment import Experiment
 from .logging import log, warn
 
 
+class _PendingRequest:
+    """One enqueued payload awaiting the batching worker."""
+
+    __slots__ = ("series", "rows", "event", "outputs", "error")
+
+    def __init__(self, series: Dict[str, List], rows: int) -> None:
+        self.series = series
+        self.rows = rows
+        self.event = threading.Event()
+        self.outputs: Optional[Dict[str, List]] = None
+        self.error: Optional[Exception] = None
+
+
 class ModelService:
-    """Holds the experiment; thread-safe single-flight inference."""
+    """Holds the experiment; coalesces concurrent requests into one
+    model call (dynamic micro-batching, see module docstring)."""
 
-    def __init__(self, experiment: Experiment) -> None:
+    def __init__(self, experiment: Experiment,
+                 batch_window_ms: float = 10.0,
+                 max_batch: int = 256) -> None:
         self.experiment = experiment
-        self._lock = threading.Lock()
+        self.batch_window_ms = batch_window_ms
+        self.max_batch = max_batch
+        # instrumentation (read by tests and bench.py --serve)
+        self.stats = {"requests": 0, "model_calls": 0,
+                      "max_merged_requests": 0, "max_merged_rows": 0}
+        self._cond = threading.Condition()
+        self._queue: List[_PendingRequest] = []
+        self._closed = False
+        self._worker = threading.Thread(
+            target=self._serve_loop, name="nm-microbatcher", daemon=True)
+        self._worker.start()
 
+    # -------------------------------------------------------------- #
     def run(self, payload: Dict[str, List]) -> Dict[str, List]:
+        """Validate + tokenize, enqueue, block until the batch worker
+        fulfills the request. Called from handler threads."""
         series: Dict[str, List] = {}
+        rows = None
         for name, sentences in payload.items():
             if not isinstance(sentences, list):
                 raise ValueError(f"Series '{name}' must be a list")
             tokenized = [
                 s.split() if isinstance(s, str) else list(s)
                 for s in sentences]
+            if rows is None:
+                rows = len(tokenized)
+            elif len(tokenized) != rows:
+                raise ValueError(
+                    "All series in one request must have the same "
+                    f"number of sentences ('{name}' has "
+                    f"{len(tokenized)}, expected {rows})")
             series[name] = tokenized
-        dataset = from_dict(series, name="request")
-        with self._lock:
+        if not series or not rows:
+            return {}
+
+        pending = _PendingRequest(series, rows)
+        with self._cond:
+            if self._closed:
+                raise RuntimeError("server is shutting down")
+            self.stats["requests"] += 1
+            self._queue.append(pending)
+            self._cond.notify_all()
+        pending.event.wait()
+        if pending.error is not None:
+            raise pending.error
+        return pending.outputs
+
+    def close(self) -> None:
+        with self._cond:
+            self._closed = True
+            self._cond.notify_all()
+
+    # -------------------------------------------------------------- #
+    def _take_group(self) -> List[_PendingRequest]:
+        """Pop the longest key-compatible prefix run of the queue
+        (first-come order; requests with a different series set stay
+        queued for the next cycle)."""
+        keys = frozenset(self._queue[0].series.keys())
+        group: List[_PendingRequest] = []
+        rows = 0
+        while self._queue:
+            nxt = self._queue[0]
+            if frozenset(nxt.series.keys()) != keys:
+                break
+            if group and rows + nxt.rows > self.max_batch:
+                break
+            group.append(self._queue.pop(0))
+            rows += nxt.rows
+        return group
+
+    def _serve_loop(self) -> None:
+        while True:
+            with self._cond:
+                while not self._queue and not self._closed:
+                    self._cond.wait()
+                if self._closed and not self._queue:
+                    return
+                # batching window: linger for stragglers after the
+                # first request lands (skipped when window is 0 or
+                # the batch is already full)
+                deadline = time.monotonic() + self.batch_window_ms / 1e3
+                while (not self._closed
+                       and sum(p.rows for p in self._queue)
+                       < self.max_batch):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cond.wait(timeout=remaining)
+                group = self._take_group()
+            self._execute(group)
+
+    def _execute(self, group: List[_PendingRequest]) -> None:
+        merged: Dict[str, List] = {
+            name: [] for name in group[0].series}
+        for pending in group:
+            for name, sentences in pending.series.items():
+                merged[name].extend(sentences)
+        self.stats["model_calls"] += 1
+        self.stats["max_merged_requests"] = max(
+            self.stats["max_merged_requests"], len(group))
+        self.stats["max_merged_rows"] = max(
+            self.stats["max_merged_rows"],
+            sum(p.rows for p in group))
+        try:
+            dataset = from_dict(merged, name="request")
             _, outputs = self.experiment.run_model(dataset)
-        return {
-            name: [item if isinstance(item, (list, str, float, int))
-                   else getattr(item, "tolist", lambda: str(item))()
-                   for item in data]
-            for name, data in outputs.items()}
+            clean = {
+                name: [item if isinstance(item,
+                                          (list, str, float, int))
+                       else getattr(item, "tolist",
+                                    lambda: str(item))()
+                       for item in data]
+                for name, data in outputs.items()}
+            offset = 0
+            for pending in group:
+                pending.outputs = {
+                    name: data[offset:offset + pending.rows]
+                    for name, data in clean.items()}
+                offset += pending.rows
+        except Exception as exc:  # pylint: disable=broad-except
+            for pending in group:
+                pending.error = exc
+        finally:
+            for pending in group:
+                pending.event.set()
 
 
 def make_handler(service: ModelService):
@@ -107,13 +243,21 @@ def main(argv: Optional[List[str]] = None) -> int:
                         help="average the checkpoints into one "
                              "parameter set instead of a logit "
                              "ensemble")
+    parser.add_argument("--batch-window-ms", type=float, default=10.0,
+                        help="how long to linger for request "
+                             "coalescing after the first pending "
+                             "request (0 = no wait, still merges "
+                             "whatever is already queued)")
+    parser.add_argument("--max-batch", type=int, default=256,
+                        help="maximum merged sentences per model call")
     args = parser.parse_args(argv)
 
     exp = Experiment(args.configuration, train_mode=False)
     exp.build_model()
     exp.restore_variables(args.checkpoints or None,
                           average=args.average)
-    service = ModelService(exp)
+    service = ModelService(exp, batch_window_ms=args.batch_window_ms,
+                           max_batch=args.max_batch)
 
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(service))
