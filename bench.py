@@ -236,6 +236,25 @@ def verify_kernels_on_device() -> None:
                                rtol=1e-4)
     print("kernel check: beam_select.rowmax_lse OK", file=sys.stderr)
 
+    # fused logit projection + selection reductions (one HBM pass)
+    fx = jnp.asarray(rng.randn(64, 512).astype(np.float32))
+    fw = jnp.asarray(rng.randn(512, 1920).astype(np.float32) * 0.1)
+    fb = jnp.asarray(rng.randn(1, 1920).astype(np.float32))
+    tiling = beam_select._fused_tiling(64, 512, 1920)
+    got = jax.jit(partial(beam_select._fused_pallas,
+                          tiling=tiling))(fx, fw, fb)
+    want = jax.jit(
+        beam_select._fused_logits_rowmax_lse_reference)(fx, fw, fb)
+    for name, g, r in zip(("logits", "rowmax", "lse"), got, want):
+        g, r = np.asarray(g), np.asarray(r)
+        scale = max(float(np.max(np.abs(r))), 1e-6)
+        max_dev = float(np.max(np.abs(g - r))) / scale
+        assert max_dev < 1e-2, (
+            f"fused_logits {name} deviates {max_dev:.2%} on the real "
+            "lowering")
+    print("kernel check: beam_select.fused_logits_rowmax_lse OK",
+          file=sys.stderr)
+
     xt = jnp.round(jnp.asarray(rng.randn(64, 2350).astype(np.float32)
                                * 3))  # ties included
     v_p, i_p = jax.jit(lambda a: beam_select._topk_pallas(a, 10))(xt)
@@ -608,6 +627,108 @@ def lineage_flip_rate(model: str = "rnn") -> float:
     return float(np.mean(flips))
 
 
+def trained_flip_rate(model: str = "rnn", steps: int = 400) -> dict:
+    """Lineage-vs-physical rank-0 disagreement with TRAINED weights at
+    bench shapes (VERDICT r2 item 9: the random-weight rates — 18.75%
+    RNN / 1.56% transformer — are a worst-case upper bound; this
+    measures the rate a model with realistic logit margins actually
+    shows).
+
+    The task is a stochastic token mapping at full bench shapes:
+    target[t] = map(source[t mod SRC_LEN]), but 25% of training
+    positions are replaced by one of four systematic confusers, so the
+    learned distribution keeps genuine near-competitors (~2 nats to
+    the runner-up) instead of the deterministic task's one-hot logits
+    — closer to real MT entropy than either extreme. Training runs a
+    few hundred steps of the same jitted step train_throughput uses;
+    flips are counted on a held-out batch decoded both ways."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from neuralmonkey_tpu.models.decoders.beam_search_decoder import \
+        BeamSearchDecoder
+    from neuralmonkey_tpu.trainers.cross_entropy_trainer import \
+        CrossEntropyTrainer
+    from neuralmonkey_tpu.trainers.optimizers import AdamOptimizer
+
+    builder = build_transformer if model == "transformer" else build
+    enc, dec, _, params, batch, Context = builder(BATCH)
+    ids_key = next(k for k in batch if k.endswith(".ids"))
+    mask_key = next(k for k in batch if k.endswith(".mask"))
+
+    # source/target alphabet sizes (disjoint vocab regions)
+    n_map = min(2000, (VOCAB - 4) // 2)
+    src_lo, tgt_lo = 4, 4 + n_map
+    pos = np.arange(MAX_OUT) % SRC_LEN
+
+    def mapped(src: np.ndarray) -> np.ndarray:
+        return (src - src_lo) * 7919 % n_map + tgt_lo
+
+    rng_np = np.random.RandomState(3)
+
+    def make_batch():
+        src = rng_np.randint(
+            src_lo, src_lo + n_map, size=(BATCH, SRC_LEN)) \
+            .astype(np.int32)
+        tgt = mapped(src)[:, pos]
+        noisy = rng_np.rand(BATCH, MAX_OUT) < 0.25
+        shift = rng_np.randint(1, 5, size=(BATCH, MAX_OUT))
+        confuser = (tgt - tgt_lo + shift) % n_map + tgt_lo
+        tgt = np.where(noisy, confuser, tgt).astype(np.int32)
+        b = dict(batch)
+        b[ids_key] = jnp.asarray(src)
+        b[mask_key] = jnp.ones((BATCH, SRC_LEN), jnp.float32)
+        b[dec.input_ids_key] = jnp.asarray(tgt)
+        b[dec.target_ids_key] = jnp.asarray(tgt)
+        b[dec.target_mask_key] = jnp.ones((BATCH, MAX_OUT),
+                                          jnp.float32)
+        return b
+
+    trainer = CrossEntropyTrainer(
+        decoders=[dec], clip_norm=1.0,
+        optimizer=AdamOptimizer(learning_rate=1e-3))
+    tx = trainer.make_optax()
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, b, rng):
+        def loss_fn(p):
+            return trainer.total_loss(p, b, rng)
+        (total, _), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, total
+
+    opt_state = tx.init(params)
+    key = jax.random.PRNGKey(0)
+    train_batches = [make_batch() for _ in range(16)]
+    first = last = None
+    for i in range(steps):
+        params, opt_state, total = step(
+            params, opt_state, train_batches[i % 16], key)
+        if i == 0:
+            first = float(total)
+    last = float(total)
+
+    held_out = make_batch()
+    eval_batch = {ids_key: held_out[ids_key],
+                  mask_key: held_out[mask_key]}
+    rates = {}
+    for mode in ("on", "off"):
+        bs = BeamSearchDecoder(name=f"tfl_{mode}", parent_decoder=dec,
+                               beam_size=BEAM,
+                               length_normalization=0.6, lineage=mode)
+        ids = jax.jit(
+            lambda p, b, bs=bs:
+            bs.search(Context(p, b, train=False)).token_ids
+        )(params, eval_batch)
+        rates[mode] = np.asarray(ids)[:, 0, :]
+    flips = np.any(rates["on"] != rates["off"], axis=-1)
+    return {"flip_rate": float(np.mean(flips)),
+            "train_steps": steps,
+            "first_loss": round(first, 3),
+            "last_loss": round(last, 3)}
+
+
 _DIGITS_EN = "zero one two three four five six seven eight nine".split()
 _DIGITS_DE = "null eins zwei drei vier fünf sechs sieben acht neun".split()
 
@@ -966,7 +1087,12 @@ def main() -> None:
             print(json.dumps({
                 "metric": f"{model}_lineage_flip_rate",
                 "value": lineage_flip_rate(model),
-                "unit": "fraction of sentences"}))
+                "unit": "fraction of sentences (random weights — "
+                        "upper bound)"}))
+            print(json.dumps({
+                "metric": f"{model}_lineage_flip_rate_trained",
+                "value": trained_flip_rate(model),
+                "unit": "fraction of sentences (trained weights)"}))
         return
 
     if "--train" in sys.argv:

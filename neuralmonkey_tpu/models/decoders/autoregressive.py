@@ -183,6 +183,66 @@ class AutoregressiveDecoder(ModelPart):
         them across beams, cutting their per-step HBM reads by K."""
         return self.tile_decode_constants(constants, k)
 
+    def prepare_selection_fusion(self, constants: Any) -> Any:
+        """Arm decode constants with a lane-aligned (D, Vp) logit
+        matrix + (1, Vp) bias under the ``"fused_logit"`` key, so the
+        decode steps emit logits AND the hierarchical beam selector's
+        two reductions from ONE fused kernel epilogue
+        (ops/beam_select.fused_logits_rowmax_lse) — the (N, Vp) logits
+        matrix is written once and never re-read from HBM (the
+        separate reduction pass costs ~77 MB/step at the bench's
+        beam-10 shape). Pad columns carry bias −1e9 like
+        ``align_logits_for_selection``. Returns constants unchanged
+        when the backend keeps kernels off or the constants do not
+        follow the params/embed_table layout (the unfused path then
+        runs exactly as before). Called by BeamSearchDecoder for
+        single-model hierarchical selection only."""
+        from ...ops.kernel_config import use_fused_logits
+        if not use_fused_logits() or "params" not in constants:
+            return constants
+        params = constants["params"]
+        if getattr(self, "tie_embeddings", False):
+            if "logit_bias" not in params or \
+                    "embed_table" not in constants:
+                return constants
+            w = constants["embed_table"].T
+            b = params["logit_bias"]
+        else:
+            logit = params.get("logit")
+            if not isinstance(logit, dict) or "w" not in logit:
+                return constants
+            w = logit["w"]
+            b = logit.get("b")
+            if b is None:
+                b = jnp.zeros((w.shape[1],), jnp.float32)
+        w = w.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+        pad = (-w.shape[1]) % 128
+        if pad:
+            w = jnp.pad(w, ((0, 0), (0, pad)))
+            b = jnp.concatenate(
+                [b, jnp.full((pad,), -1e9, jnp.float32)])
+        constants = dict(constants)
+        constants["fused_logit"] = (w, b[None, :])
+        return constants
+
+    def _step_logits(self, constants: Any, prelogit: jnp.ndarray,
+                     fallback):
+        """Decode-step logit projection. When
+        ``prepare_selection_fusion`` armed the constants, computes
+        (logits, rowmax, lse) in one fused kernel and returns the
+        reductions as aux entries the beam selector picks up;
+        otherwise calls ``fallback()`` (the decoder's plain
+        projection) and returns no aux."""
+        fused = constants.get("fused_logit")
+        if fused is None:
+            return fallback(), {}
+        from ...ops.beam_select import fused_logits_rowmax_lse
+        w, b = fused
+        logits, rowmax, lse = fused_logits_rowmax_lse(
+            prelogit.astype(jnp.float32), w, b)
+        return logits, {"sel_rowmax": rowmax, "sel_lse": lse}
+
     def align_logits_for_selection(self, constants: Any,
                                    lane: int = 128) -> Any:
         """Pad the logit projection inside decode constants so

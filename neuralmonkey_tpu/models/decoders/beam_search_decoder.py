@@ -197,8 +197,9 @@ class BeamSearchDecoder(ModelPart):
     # PAD at zero incremental cost.
     # ------------------------------------------------------------------ #
     def _select_flat(self, x, normalized: bool, search: SearchState,
-                     batch: int):
+                     batch: int, precomputed=None):
         """One lax.top_k over the full (B, K·V) score matrix."""
+        del precomputed  # only the hierarchical selector uses it
         beam = self.beam_size
         vocab = x.shape[-1]
         logprobs = x if normalized else jax.nn.log_softmax(x, axis=-1)
@@ -229,7 +230,7 @@ class BeamSearchDecoder(ModelPart):
         return parents, tokens, new_logprob, top_scores
 
     def _select_hier(self, x, normalized: bool, search: SearchState,
-                     batch: int):
+                     batch: int, precomputed=None):
         """Exact two-stage selection without (B, K, V) intermediates.
 
         Stage 1 reduces every 128-lane row of each beam's vocab to its
@@ -260,11 +261,23 @@ class BeamSearchDecoder(ModelPart):
         # (~0.5 ms/step measured vs ~0.13 ms for this form).
         from ...ops.beam_select import rowmax_lse
         x32 = x.astype(jnp.float32)
+        if precomputed is not None and (
+                normalized
+                or precomputed[0].shape[-1] != rows_per_beam):
+            precomputed = None  # stale/mismatched fusion aux
         if normalized:
             lse = jnp.zeros((batch, beam), jnp.float32)
             rowmax = jnp.max(
                 x32.reshape(batch * beam, rows_per_beam, lane),
                 axis=2).reshape(batch, beam, rows_per_beam)
+        elif precomputed is not None:
+            # the decode step emitted the reductions from the fused
+            # logit-projection epilogue (prepare_selection_fusion) —
+            # the logits matrix is never re-read here
+            rowmax2, lse2 = precomputed
+            rowmax = rowmax2.astype(jnp.float32).reshape(
+                batch, beam, rows_per_beam)
+            lse = lse2.astype(jnp.float32).reshape(batch, beam)
         else:
             rowmax2, lse2 = rowmax_lse(x32)
             rowmax = rowmax2.reshape(batch, beam, rows_per_beam)
@@ -358,6 +371,14 @@ class BeamSearchDecoder(ModelPart):
                 parent.align_logits_for_selection(c)
                 for c in constants_list]
 
+        if method == "hierarchical" and n_models == 1:
+            # fused logit-projection epilogue: decode steps emit the
+            # selector's rowmax/lse reductions with the logits (one
+            # HBM pass); no-op when the backend keeps kernels off
+            constants_list = [
+                parent.prepare_selection_fusion(c)
+                for c in constants_list]
+
         # tile constants/states to batch*beam (the parent knows which
         # constants carry a batch axis — parameters must not be tiled;
         # lineage decoders keep beam-invariant constants untiled)
@@ -407,8 +428,11 @@ class BeamSearchDecoder(ModelPart):
                     anc, window)
                 weights = (aux.get("attention_weights", ())
                            if isinstance(aux, dict) else ())
+                sel = (None if not isinstance(aux, dict)
+                       or "sel_rowmax" not in aux
+                       else (aux["sel_rowmax"], aux["sel_lse"]))
                 return (new_states, logits, False,
-                        weights[0] if weights else None)
+                        weights[0] if weights else None, sel)
             def one(c, s):
                 new_s, logits, _ = step_fn(c, s, prev_ids, step, anc,
                                            window)
@@ -417,7 +441,7 @@ class BeamSearchDecoder(ModelPart):
                 stacked_constants, model_states)
             # arithmetic mean of probabilities, numerically stable
             avg = jax.nn.logsumexp(logprobs, axis=0) - jnp.log(n_models)
-            return new_states, avg, True, None
+            return new_states, avg, True, None, None
 
         select_fn = (self._select_hier if method == "hierarchical"
                      else self._select_flat)
@@ -476,10 +500,11 @@ class BeamSearchDecoder(ModelPart):
             def body(carry):
                 (step, model_states, prev_ids, search, _, anc,
                  hist) = carry
-                new_model_states, x, normalized, weights = model_scores(
+                (new_model_states, x, normalized, weights,
+                 sel) = model_scores(
                     model_states, prev_ids, step, anc, window)
                 parents, tokens, new_logprob, top_scores = select_fn(
-                    x, normalized, search, batch)
+                    x, normalized, search, batch, precomputed=sel)
 
                 if record:
                     w = weights.reshape(batch, beam, -1).astype(

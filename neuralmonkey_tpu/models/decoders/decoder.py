@@ -370,8 +370,10 @@ class Decoder(AutoregressiveDecoder):
         new_state, prelogit_in, weights, new_att = self._cell_step(
             constants, state, att_states, embedded_prev, beam=beam)
         prelogit = self._prelogit(constants["params"], prelogit_in)
-        logits = self._logits(constants, prelogit)
-        aux = {"attention_weights": tuple(weights)}
+        logits, sel_aux = self._step_logits(
+            constants, prelogit,
+            lambda: self._logits(constants, prelogit))
+        aux = {"attention_weights": tuple(weights), **sel_aux}
         return (new_state, new_att), logits, aux
 
     def decode_initial_state(self, ctx: Context, constants):
@@ -387,6 +389,8 @@ class Decoder(AutoregressiveDecoder):
         new_state, prelogit_in, weights, new_att = self._cell_step(
             constants, state, att_states, embedded_prev)
         prelogit = self._prelogit(constants["params"], prelogit_in)
-        logits = self._logits(constants, prelogit)
-        aux = {"attention_weights": tuple(weights)}
+        logits, sel_aux = self._step_logits(
+            constants, prelogit,
+            lambda: self._logits(constants, prelogit))
+        aux = {"attention_weights": tuple(weights), **sel_aux}
         return (new_state, new_att), logits, aux

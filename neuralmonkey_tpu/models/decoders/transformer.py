@@ -589,9 +589,11 @@ class TransformerDecoder(AutoregressiveDecoder):
                                      constants.get("row_valid"))
 
         x = layer_norm(params["ln_out"], x)[:, 0, :]  # (B, D)
-        logits = self._logits_from_states(params, table, x)
-        aux = ({"attention_weights": (att_weights,)}
-               if att_weights is not None else {})
+        logits, sel_aux = self._step_logits(
+            constants, x,
+            lambda: self._logits_from_states(params, table, x))
+        aux = ({"attention_weights": (att_weights,), **sel_aux}
+               if att_weights is not None else sel_aux)
         return tuple(new_caches), logits, aux
 
     # ------------------------------------------------------------------ #
@@ -727,7 +729,9 @@ class TransformerDecoder(AutoregressiveDecoder):
             x = x + self._decode_ffn(layer, normed, row_valid)
 
         x = layer_norm(params["ln_out"], x)[:, 0, :]
-        logits = self._logits_from_states(params, table, x)
-        aux = ({"attention_weights": (att_weights,)}
-               if att_weights is not None else {})
+        logits, sel_aux = self._step_logits(
+            constants, x,
+            lambda: self._logits_from_states(params, table, x))
+        aux = ({"attention_weights": (att_weights,), **sel_aux}
+               if att_weights is not None else sel_aux)
         return tuple(new_caches), logits, aux

@@ -188,6 +188,182 @@ def small_topk(x: jnp.ndarray, k: int, force_pallas: bool = None
     return _topk_pallas(x, k)
 
 
+def _fused_logits_rowmax_lse_reference(
+        x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pure-JAX semantics of the fused logit-projection epilogue.
+    x: (N, D) f32, w: (D, Vp) f32, b: (1, Vp) f32, Vp = R·128.
+    Returns (logits (N, Vp), rowmax (N, R), lse (N,))."""
+    logits = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+    rowmax, lse = _rowmax_lse_reference(logits)
+    return logits, rowmax, lse
+
+
+def _fused_kernel(x_ref, w_ref, b_ref, out_ref, rowmax_ref, lse_ref,
+                  m_s, s_s, *, gpv: int, n_vtiles: int, r_pad: int):
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        rowmax_ref[:] = jnp.full(rowmax_ref.shape, _NEG, jnp.float32)
+        m_s[:] = jnp.full(m_s.shape, _NEG, jnp.float32)
+        s_s[:] = jnp.zeros(s_s.shape, jnp.float32)
+
+    t = (jnp.dot(x_ref[:], w_ref[:],
+                 preferred_element_type=jnp.float32) + b_ref[:])
+    out_ref[:] = t                                   # (nt, vt)
+    nt = t.shape[0]
+
+    # per-128-lane-group maxima of this vocab tile, merged into the
+    # accumulated (nt, r_pad) rowmax block via a lane-iota mask (the
+    # same lane-expand trick _kernel uses — no 1-D intermediates)
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, (nt, r_pad), 1)
+    acc = rowmax_ref[:]
+    for g in range(gpv):  # static unroll; gpv groups per tile
+        mg = jnp.max(t[:, g * LANE:(g + 1) * LANE], axis=1,
+                     keepdims=True)
+        acc = jnp.where(lane_r == j * gpv + g, mg, acc)
+    rowmax_ref[:] = acc
+
+    # online logsumexp across vocab tiles (flash-style folding)
+    m_prev = m_s[:, :1]                              # (nt, 1)
+    s_prev = s_s[:, :1]
+    tile_m = jnp.max(t, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, tile_m)
+    s_new = (s_prev * jnp.exp(m_prev - m_new)
+             + jnp.sum(jnp.exp(t - m_new), axis=1, keepdims=True))
+    m_s[:] = jnp.broadcast_to(m_new, m_s.shape)
+    s_s[:] = jnp.broadcast_to(s_new, s_s.shape)
+
+    @pl.when(j == n_vtiles - 1)
+    def _finish():
+        lse_ref[:] = jnp.broadcast_to(m_new + jnp.log(s_new),
+                                      lse_ref.shape)
+
+
+def _fused_tiling(n: int, d: int, vp: int):
+    """Pick (nt, vt) so one row tile and a double-buffered vocab tile
+    fit VMEM; returns None when no divisor works. vt maximizes MXU
+    tile width; nt maximizes W reuse (W streams N/nt times)."""
+    groups = vp // LANE
+    gpv = 1
+    for cand in range(min(groups, 8), 0, -1):
+        if groups % cand == 0:
+            gpv = cand
+            break
+    vt = gpv * LANE
+    budget = 12 * 1024 * 1024  # v5e VMEM is 16 MB; leave headroom
+    for nt in range(min(n, 2048), 7, -8):
+        if n % nt:
+            continue
+        r_pad = -(-groups // LANE) * LANE
+        est = 4 * (nt * d            # x block
+                   + 2 * d * vt      # w block, double-buffered
+                   + 2 * nt * vt     # logits out block
+                   + nt * r_pad      # rowmax out block
+                   + 3 * nt * LANE)  # lse + m/s scratch
+        if est <= budget:
+            return nt, vt, gpv, r_pad
+    return None
+
+
+def _fused_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                  tiling) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                   jnp.ndarray]:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = x.shape
+    vp = w.shape[1]
+    r = vp // LANE
+    nt, vt, gpv, r_pad = tiling
+    n_vtiles = vp // vt
+    logits, rowmax, lse = pl.pallas_call(
+        partial(_fused_kernel, gpv=gpv, n_vtiles=n_vtiles,
+                r_pad=r_pad),
+        grid=(n // nt, n_vtiles),
+        in_specs=[
+            pl.BlockSpec((nt, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, vt), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vt), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nt, vt), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, r_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, LANE), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, vp), jnp.float32),
+            jax.ShapeDtypeStruct((n, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n, LANE), jnp.float32),
+        ),
+        scratch_shapes=(
+            pltpu.VMEM((nt, LANE), jnp.float32),
+            pltpu.VMEM((nt, LANE), jnp.float32),
+        ),
+        interpret=pallas_interpret(),
+    )(x, w, b)
+    return logits, rowmax[:, :r], lse[:, 0]
+
+
+def fused_logits_rowmax_lse(
+        x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+        force_pallas: bool = None
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Logit projection with the hierarchical beam selector's two
+    reductions fused into its epilogue: logits = x·w + b are computed
+    tile-by-tile in VMEM and the per-128-lane rowmax + per-row
+    logsumexp are folded online, so the (N, Vp) logits matrix is
+    written ONCE and never re-read from HBM (the separate rowmax_lse
+    pass re-reads ~N·Vp·4 bytes per decode step — 77 MB at the
+    bench's beam-10 shape, 154 MB at beam 20).
+
+    x: (N, D) prelogit rows, w: (D, Vp) lane-aligned projection,
+    b: (1, Vp) bias (pad columns carry a large negative bias).
+    Returns (logits (N, Vp) f32, rowmax (N, Vp/128), lse (N,)).
+    Ineligible shapes/backends take the pure-JAX reference."""
+    n, d = x.shape
+    vp = w.shape[1]
+    enabled = use_pallas() if force_pallas is None else force_pallas
+    if (not enabled or n % SUBLANES or vp % LANE or d % LANE
+            or x.dtype != jnp.float32 or w.dtype != jnp.float32):
+        return _fused_logits_rowmax_lse_reference(x, w, b)
+    from .kernel_config import spmd_wrap_mesh
+    mesh = spmd_wrap_mesh()
+    if mesh is not None:
+        # data-parallel meshes shard the row axis; w/b replicate. A
+        # >1 'model' axis could shard the vocab columns instead —
+        # that layout keeps the unfused path (reference).
+        dp = mesh.shape.get("data", 1)
+        if any(size > 1 for name, size in mesh.shape.items()
+               if name != "data"):
+            return _fused_logits_rowmax_lse_reference(x, w, b)
+        if n % dp:
+            return _fused_logits_rowmax_lse_reference(x, w, b)
+        tiling = _fused_tiling(n // dp, d, vp)
+        if tiling is None or (n // dp) % SUBLANES:
+            return _fused_logits_rowmax_lse_reference(x, w, b)
+        from jax.sharding import PartitionSpec as P
+        wrapped = jax.shard_map(
+            partial(_fused_pallas, tiling=tiling), mesh=mesh,
+            in_specs=(P("data", None), P(None, None), P(None, None)),
+            out_specs=(P("data", None), P("data", None), P("data")),
+            check_vma=False)
+        return wrapped(x, w, b)
+    tiling = _fused_tiling(n, d, vp)
+    if tiling is None:
+        return _fused_logits_rowmax_lse_reference(x, w, b)
+    return _fused_pallas(x, w, b, tiling)
+
+
 def rowmax_lse(x: jnp.ndarray, force_pallas: bool = None
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-128-lane-row maxima + per-row logsumexp of (N, R·128) f32.

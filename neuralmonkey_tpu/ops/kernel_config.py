@@ -126,6 +126,18 @@ def pallas_interpret() -> bool:
     return jax.devices()[0].platform not in ("tpu", "axon")
 
 
+def use_fused_logits() -> bool:
+    """Whether beam search arms decode constants for the fused
+    logit-projection + selection-reduction kernel
+    (ops/beam_select.fused_logits_rowmax_lse). Default follows
+    use_pallas(); NM_FUSED_LOGITS=0/1 overrides (=1 also exercises
+    the integration on CPU through the pure-JAX reference)."""
+    env = os.environ.get("NM_FUSED_LOGITS")
+    if env is not None:
+        return env not in ("0", "false", "False", "")
+    return use_pallas()
+
+
 def use_pallas_train() -> bool:
     """Whether training paths may use Pallas kernels (the fused GRU
     scan now has a hand-written BPTT kernel, so this is sound; default

@@ -231,6 +231,59 @@ def test_hierarchical_with_tied_embeddings(model):
                                outs["hierarchical"].scores, atol=1e-5)
 
 
+def test_fused_logit_selection_matches_unfused(model, monkeypatch):
+    """NM_FUSED_LOGITS=1 arms decode constants so decode steps emit
+    the hierarchical selector's reductions from the fused logit
+    projection (ops/beam_select.fused_logits_rowmax_lse; pure-JAX
+    reference on CPU). The full jitted search must be unchanged."""
+    dec, params, batch = model
+
+    def run(env):
+        monkeypatch.setenv("NM_FUSED_LOGITS", env)
+        bs = BeamSearchDecoder(
+            name=f"bsf_{env}", parent_decoder=dec, beam_size=3,
+            length_normalization=0.6,
+            selection_method="hierarchical")
+        out = jax.jit(
+            lambda p, b, bs=bs: bs.search(Context(p, b, train=False))
+        )(params, batch)
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    off, on = run("0"), run("1")
+    np.testing.assert_array_equal(off.token_ids, on.token_ids)
+    np.testing.assert_allclose(off.scores, on.scores, atol=1e-5)
+
+
+def test_fused_logit_selection_tied_embeddings(model, monkeypatch):
+    """Fusion through the tied-embedding layout (w = embed_table.T)
+    and under lineage decoding."""
+    dec, params, batch = model
+    tied = Decoder(name="dec_tied_f", vocabulary=dec.vocabulary,
+                   data_id="target", max_output_len=6, rnn_size=7,
+                   encoders=dec.encoders, attentions=dec.attentions,
+                   embedding_size=8, tie_embeddings=True,
+                   output_projection="mlp")
+    parts = collect_parts([tied])
+    tied_params = init_all_params(parts, jax.random.PRNGKey(0))
+    tied_params.update({k: v for k, v in params.items()
+                        if k in tied_params and k.startswith("enc")})
+
+    def run(env):
+        monkeypatch.setenv("NM_FUSED_LOGITS", env)
+        bs = BeamSearchDecoder(
+            name=f"bstf_{env}", parent_decoder=tied, beam_size=3,
+            length_normalization=0.6,
+            selection_method="hierarchical", lineage="on")
+        out = jax.jit(
+            lambda p, b, bs=bs: bs.search(Context(p, b, train=False))
+        )(tied_params, batch)
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    off, on = run("0"), run("1")
+    np.testing.assert_array_equal(off.token_ids, on.token_ids)
+    np.testing.assert_allclose(off.scores, on.scores, atol=1e-5)
+
+
 def test_rnn_lineage_matches_physical(model):
     """RNN lineage decoding (shared attention constants, in-step state
     gather) must reproduce the physically-reordered search."""

@@ -202,6 +202,38 @@ def test_rowmax_lse_matches_reference(shape):
                                rtol=1e-6)
 
 
+@pytest.mark.parametrize("shape", [(16, 128, 1280), (64, 256, 640),
+                                   (24, 128, 512), (40, 512, 3840)])
+def test_fused_logits_rowmax_lse_matches_reference(shape):
+    """Logit projection with the selector reductions fused into its
+    epilogue (one logits write, no re-read) vs the pure-JAX twin."""
+    from neuralmonkey_tpu.ops.beam_select import (
+        _fused_logits_rowmax_lse_reference, _fused_pallas,
+        _fused_tiling)
+    n, d, vp = shape
+    x = jnp.asarray(RNG.randn(n, d).astype(np.float32))
+    w = jnp.asarray(RNG.randn(d, vp).astype(np.float32) * 0.1)
+    b = jnp.asarray(RNG.randn(1, vp).astype(np.float32))
+    tiling = _fused_tiling(n, d, vp)
+    assert tiling is not None
+    got = _fused_pallas(x, w, b, tiling)   # interpret mode on CPU
+    ref = _fused_logits_rowmax_lse_reference(x, w, b)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_fused_logits_dispatch_fallback():
+    """Ineligible shapes (N % 8, D % 128) take the reference path."""
+    from neuralmonkey_tpu.ops.beam_select import fused_logits_rowmax_lse
+    x = jnp.asarray(RNG.randn(5, 96).astype(np.float32))
+    w = jnp.asarray(RNG.randn(96, 256).astype(np.float32))
+    b = jnp.zeros((1, 256), jnp.float32)
+    logits, rm, lse = fused_logits_rowmax_lse(x, w, b)
+    assert logits.shape == (5, 256)
+    assert rm.shape == (5, 2) and lse.shape == (5,)
+
+
 def test_rowmax_lse_dispatch_shapes():
     """Non-kernel-eligible shapes fall back to the reference."""
     from neuralmonkey_tpu.ops.beam_select import rowmax_lse

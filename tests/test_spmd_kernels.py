@@ -215,6 +215,27 @@ def test_rowmax_lse_sharded_matches_reference(monkeypatch):
     assert calls["n"] == before
 
 
+def test_fused_logits_sharded_matches_reference(monkeypatch):
+    kernel_config.note_mesh(_mesh())
+    calls = _count_calls(monkeypatch, beam_select, "_fused_pallas")
+    x = jnp.asarray(RNG.randn(64, 128), jnp.float32)
+    w = jnp.asarray(RNG.randn(128, 640) * 0.1, jnp.float32)
+    b = jnp.asarray(RNG.randn(1, 640), jnp.float32)
+    logits, rowmax, lse = jax.jit(
+        beam_select.fused_logits_rowmax_lse)(x, w, b)
+    assert calls["n"] > 0
+    want = beam_select._fused_logits_rowmax_lse_reference(x, w, b)
+    for got, ref in zip((logits, rowmax, lse), want):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+    # a >1 'model' axis keeps the unfused/reference path (the vocab
+    # columns may be TP-sharded there) — no crash, no kernel call
+    kernel_config.note_mesh(_mesh((4, 2), ("data", "model")))
+    before = calls["n"]
+    beam_select.fused_logits_rowmax_lse(x, w, b)
+    assert calls["n"] == before
+
+
 def test_small_topk_sharded_matches_reference(monkeypatch):
     kernel_config.note_mesh(_mesh())
     calls = _count_calls(monkeypatch, beam_select, "_topk_pallas")

@@ -185,6 +185,30 @@ def test_beam_lineage_matches_physical(model):
         np.asarray(outs["off"].lengths))
 
 
+def test_fused_logit_selection_matches_unfused(model, monkeypatch):
+    """Fused logit-projection selection (NM_FUSED_LOGITS=1) through
+    the transformer's tied-embedding decode steps (both lineage and
+    physical) must not change the search."""
+    _, dec, params, batch = model
+    for lineage in ("on", "off"):
+        outs = {}
+        for env in ("0", "1"):
+            monkeypatch.setenv("NM_FUSED_LOGITS", env)
+            bs = BeamSearchDecoder(
+                name=f"fbs_{lineage}_{env}", parent_decoder=dec,
+                beam_size=3, length_normalization=0.6,
+                selection_method="hierarchical", lineage=lineage)
+            outs[env] = jax.jit(
+                lambda p, b, bs=bs:
+                bs.search(Context(p, b, train=False)))(params, batch)
+        np.testing.assert_array_equal(
+            np.asarray(outs["0"].token_ids),
+            np.asarray(outs["1"].token_ids))
+        np.testing.assert_allclose(
+            np.asarray(outs["0"].scores),
+            np.asarray(outs["1"].scores), atol=1e-5)
+
+
 def test_beam_lineage_ensemble_matches_physical(model):
     _, dec, params, batch = model
     params_b = init_all_params(
