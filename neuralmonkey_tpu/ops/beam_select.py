@@ -99,26 +99,40 @@ def _topk_reference(x: jnp.ndarray, k: int
     return jax.lax.top_k(x, k)
 
 
-def _topk_kernel(x_ref, vals_ref, idx_ref, *, k: int, n: int):
-    x = x_ref[:].astype(jnp.float32)             # (8, n_pad)
+def _topk_kernel(x_ref, vals_ref, idx_ref, *, k: int, n: int,
+                 rows: int):
+    x = x_ref[:].astype(jnp.float32)             # (rows, n_pad)
     n_pad = x.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, n_pad), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
     x = jnp.where(lane < n, x, _NEG)             # mask padding
     out_lane = jax.lax.broadcasted_iota(
-        jnp.int32, (SUBLANES, LANE), 1)
-    vals = jnp.full((SUBLANES, LANE), _NEG, jnp.float32)
-    idxs = jnp.zeros((SUBLANES, LANE), jnp.int32)
+        jnp.int32, (rows, LANE), 1)
+    vals = jnp.full((rows, LANE), _NEG, jnp.float32)
+    idxs = jnp.zeros((rows, LANE), jnp.int32)
     big = jnp.int32(n_pad)
     for i in range(k):  # static unroll; k is small (beam size)
-        m = jnp.max(x, axis=1, keepdims=True)            # (8, 1)
+        m = jnp.max(x, axis=1, keepdims=True)            # (rows, 1)
         # lowest index among ties — lax.top_k semantics
         where_idx = jnp.where(x == m, lane, big)
-        arg = jnp.min(where_idx, axis=1, keepdims=True)  # (8, 1)
+        arg = jnp.min(where_idx, axis=1, keepdims=True)  # (rows, 1)
         vals = jnp.where(out_lane == i, m, vals)
         idxs = jnp.where(out_lane == i, arg, idxs)
         x = jnp.where(lane == arg, _NEG, x)
     vals_ref[:] = vals
     idx_ref[:] = idxs
+
+
+def _topk_rows_per_cell(b_pad: int, n_pad: int) -> int:
+    """Rows per grid cell: as many as fit VMEM. The k extraction
+    passes are serial dependency chains; wider tiles amortize the
+    VPU op latency across more rows (measured ~4x at the bench's
+    stage-1 shape vs 8-row cells), so prefer ONE cell when it fits."""
+    budget = 6 * 1024 * 1024
+    rows = b_pad
+    while rows > SUBLANES and (b_pad % rows or rows * n_pad * 4
+                               > budget):
+        rows -= SUBLANES
+    return max(rows, SUBLANES)
 
 
 def _topk_pallas(x: jnp.ndarray, k: int
@@ -132,16 +146,17 @@ def _topk_pallas(x: jnp.ndarray, k: int
     if (b_pad, n_pad) != (b, n):
         x = jnp.pad(x, ((0, b_pad - b), (0, n_pad - n)),
                     constant_values=_NEG)
-    grid = b_pad // SUBLANES
+    rows = _topk_rows_per_cell(b_pad, n_pad)
+    grid = b_pad // rows
     vals, idxs = pl.pallas_call(
-        partial(_topk_kernel, k=k, n=n),
+        partial(_topk_kernel, k=k, n=n, rows=rows),
         grid=(grid,),
-        in_specs=[pl.BlockSpec((SUBLANES, n_pad), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((rows, n_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((SUBLANES, LANE), lambda i: (i, 0),
+            pl.BlockSpec((rows, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LANE), lambda i: (i, 0),
+            pl.BlockSpec((rows, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -254,7 +269,12 @@ def _fused_tiling(n: int, d: int, vp: int):
             gpv = cand
             break
     vt = gpv * LANE
-    budget = 12 * 1024 * 1024  # v5e VMEM is 16 MB; leave headroom
+    # v5e VMEM is 16 MB; the estimate below double-buffers w and the
+    # logits block, which overshoots what Mosaic actually allocates —
+    # a measured 15.07 MB-estimate config (N=1280, D=512, Vp=30080,
+    # nt=N, vt=640) compiles and runs, and beats splitting the rows
+    # (two passes over W) by 13%
+    budget = 15_400_000
     for nt in range(min(n, 2048), 7, -8):
         if n % nt:
             continue
