@@ -217,7 +217,13 @@ class AutoregressiveDecoder(ModelPart):
                 b = jnp.zeros((w.shape[1],), jnp.float32)
         w = w.astype(jnp.float32)
         b = b.astype(jnp.float32)
-        pad = (-w.shape[1]) % 128
+        # pad to a multiple of 8·128: Vp/128 divisible by 8 lets the
+        # kernel emit window-tiled (N, R, 128) logits whose stage-2
+        # beam-selector view is a free bitcast (see
+        # fused_logits_rowmax_lse logits_3d); the extra ≤2% matmul
+        # columns are far cheaper than the ~1 ms/step relayout they
+        # replace
+        pad = (-w.shape[1]) % (8 * 128)
         if pad:
             w = jnp.pad(w, ((0, 0), (0, pad)))
             b = jnp.concatenate(
@@ -239,9 +245,31 @@ class AutoregressiveDecoder(ModelPart):
             return fallback(), {}
         from ...ops.beam_select import fused_logits_rowmax_lse
         w, b = fused
+        import os
+        vp = w.shape[1]
+        n = prelogit.shape[0]
+        # window-tiled (N, R, 128) logits pay per-group dots + a
+        # smaller row tile in the kernel but spare the selector's
+        # stage-2 HBM relayout; measured on v5e the relayout only
+        # dominates once the logits matrix is large (beam 20 at
+        # batch 64: 1143 vs 970 sent/s 3-D; beam 10: 1842 vs 2100 —
+        # XLA fuses the small-matrix gather). Crossover ~100 MB.
+        mode = os.environ.get("NM_LOGITS3D", "auto")
+        if mode == "auto":
+            want_3d = n * vp * 4 >= 100_000_000
+        else:
+            want_3d = mode != "0"
+        want_3d = want_3d and vp % (8 * 128) == 0
         logits, rowmax, lse = fused_logits_rowmax_lse(
-            prelogit.astype(jnp.float32), w, b)
-        return logits, {"sel_rowmax": rowmax, "sel_lse": lse}
+            prelogit.astype(jnp.float32), w, b, logits_3d=want_3d)
+        aux = {"sel_rowmax": rowmax, "sel_lse": lse}
+        if want_3d:
+            # window-tiled logits for the selector's stage-2 gather;
+            # the 2-D view below is dead under hierarchical selection
+            # (XLA DCEs the relayout — the selector reads sel_logits3)
+            aux["sel_logits3"] = logits
+            logits = logits.reshape(logits.shape[0], vp)
+        return logits, aux
 
     def align_logits_for_selection(self, constants: Any,
                                    lane: int = 128) -> Any:

@@ -265,6 +265,9 @@ class BeamSearchDecoder(ModelPart):
                 normalized
                 or precomputed[0].shape[-1] != rows_per_beam):
             precomputed = None  # stale/mismatched fusion aux
+        logits3 = None
+        if precomputed is not None and len(precomputed) > 2:
+            logits3 = precomputed[2]
         if normalized:
             lse = jnp.zeros((batch, beam), jnp.float32)
             rowmax = jnp.max(
@@ -274,7 +277,7 @@ class BeamSearchDecoder(ModelPart):
             # the decode step emitted the reductions from the fused
             # logit-projection epilogue (prepare_selection_fusion) —
             # the logits matrix is never re-read here
-            rowmax2, lse2 = precomputed
+            rowmax2, lse2 = precomputed[0], precomputed[1]
             rowmax = rowmax2.astype(jnp.float32).reshape(
                 batch, beam, rows_per_beam)
             lse = lse2.astype(jnp.float32).reshape(batch, beam)
@@ -303,9 +306,16 @@ class BeamSearchDecoder(ModelPart):
         _, row_idx = small_topk(
             srow.reshape(batch, n_rows), beam)            # (B, K)
 
-        # stage 2: exact scores for the selected rows only
+        # stage 2: exact scores for the selected rows only. Prefer the
+        # window-tiled (N, R, 128) logits from the fused epilogue: this
+        # reshape is then a free bitcast (R % 8 == 0), where the
+        # row-tiled 2-D form pays a full HBM relayout (~1 ms/step at
+        # beam-20 bench shapes — the two layouts tile sublanes over
+        # different axes)
+        x3 = (logits3 if logits3 is not None
+              else x.reshape(batch * beam, rows_per_beam, lane))
         cand = jnp.take_along_axis(
-            x.reshape(batch, n_rows, lane),
+            x3.reshape(batch, n_rows, lane),
             row_idx[..., None], axis=1).astype(jnp.float32)
         parent_of_row = (row_idx // rows_per_beam).astype(jnp.int32)
 
@@ -430,7 +440,8 @@ class BeamSearchDecoder(ModelPart):
                            if isinstance(aux, dict) else ())
                 sel = (None if not isinstance(aux, dict)
                        or "sel_rowmax" not in aux
-                       else (aux["sel_rowmax"], aux["sel_lse"]))
+                       else (aux["sel_rowmax"], aux["sel_lse"],
+                             aux.get("sel_logits3")))
                 return (new_states, logits, False,
                         weights[0] if weights else None, sel)
             def one(c, s):

@@ -27,7 +27,8 @@ from ...ops.attention import (NEG_INF, attention_bias_from_mask,
                               merge_heads, mha_init,
                               multi_head_attention,
                               sinusoidal_position_encoding, split_heads)
-from ...ops.moe import moe_ffn, moe_init, moe_partition_specs
+from ...ops.moe import (moe_combine_stats, moe_ffn, moe_init,
+                        moe_partition_specs)
 from ...ops.nn import maybe_dropout as _maybe_dropout
 from ...ops.sharding import constrain_sequence
 from .autoregressive import AutoregressiveDecoder
@@ -109,10 +110,6 @@ class TransformerDecoder(AutoregressiveDecoder):
         self.moe_aux_weight = moe_aux_weight
         self.moe_router_noise = moe_router_noise
         self.moe_z_loss_weight = moe_z_loss_weight
-        if moe_experts > 1 and pipeline_stages > 1:
-            raise ValueError(
-                "moe_experts cannot combine with pipeline_stages "
-                "(expert and pipe mesh axes are exclusive)")
         if self.model_dim % n_heads_self or (
                 encoders and self.model_dim % n_heads_enc):
             raise ValueError("model dim must divide the head counts")
@@ -180,9 +177,10 @@ class TransformerDecoder(AutoregressiveDecoder):
             for ln in lns:
                 for leaf in ("scale", "bias"):
                     specs[f"layers/{ln}/{leaf}"] = ("pipe", None)
-            for sub, cols, rows in (
-                    [(a, ("q", "k", "v"), ("o",)) for a in atts]
-                    + [("ff", ("in",), ("out",))]):
+            subs = [(a, ("q", "k", "v"), ("o",)) for a in atts]
+            if self.moe_experts <= 1:
+                subs.append(("ff", ("in",), ("out",)))
+            for sub, cols, rows in subs:
                 for p in cols:
                     specs[f"layers/{sub}/{p}/w"] = \
                         ("pipe", None, "model")
@@ -191,6 +189,10 @@ class TransformerDecoder(AutoregressiveDecoder):
                     specs[f"layers/{sub}/{p}/w"] = \
                         ("pipe", "model", None)
                     specs[f"layers/{sub}/{p}/b"] = ("pipe", None)
+            if self.moe_experts > 1:
+                # stacked MoE: expert axis follows the layer axis
+                from ...ops.moe import moe_stacked_partition_specs
+                specs.update(moe_stacked_partition_specs("layers/ff"))
             return specs
         for i in range(self.depth):
             specs.update(mha_partition_specs(f"layer_{i}/self_att"))
@@ -245,7 +247,7 @@ class TransformerDecoder(AutoregressiveDecoder):
     # teacher-forced training (fully parallel)
     # ------------------------------------------------------------------ #
     def _train_layer_fn(self, layer, x, all_keys_mask, enc_data, rngs,
-                        moe_mask=None):
+                        moe_mask=None, moe_stats=False):
         """One decoder layer (self-att → cross-atts → FFN) as a pure
         function of its arguments, remat-wrappable (see encoder)."""
         normed = layer_norm(layer["ln_self"], x)
@@ -275,7 +277,8 @@ class TransformerDecoder(AutoregressiveDecoder):
                 top_k=self.moe_top_k,
                 capacity_factor=self.moe_capacity_factor,
                 router_noise=self.moe_router_noise,
-                noise_rng=rngs.get("moe_noise"))
+                noise_rng=rngs.get("moe_noise"),
+                return_stats=moe_stats)
             return constrain_sequence(
                 x + _maybe_dropout(ff_out, self.dropout_keep_prob,
                                    rngs["res_ff"])), aux
@@ -307,15 +310,19 @@ class TransformerDecoder(AutoregressiveDecoder):
         }
 
     def _pipelined_train_layers(self, ctx: Context, params, x,
-                                all_keys_mask, enc_data):
+                                all_keys_mask, enc_data,
+                                moe_mask=None):
         """Teacher-forced layer stack through the GPipe executor (see
         TransformerEncoder._pipelined_layers); encoder states and
-        masks travel with each microbatch. Falls back to a sequential
-        loop over the stacked layout when no pipeline mesh is
-        registered or the batch does not divide."""
+        masks travel with each microbatch, MoE routing sums accumulate
+        across microbatches inside the executor (exact full-batch
+        balance/z — see gpipe_apply's aux_fn). Falls back to a
+        sequential loop over the stacked layout when no pipeline mesh
+        is registered or the batch does not divide."""
         from ...parallel.pipeline import gpipe_apply, pipeline_mesh
         mesh = pipeline_mesh()
         batch = x.shape[0]
+        moe = self.moe_experts > 1
         n_micro = self.pipeline_microbatches or (
             mesh.shape["pipe"] if mesh is not None
             else self.pipeline_stages)
@@ -324,21 +331,33 @@ class TransformerDecoder(AutoregressiveDecoder):
             layer_fn = (jax.checkpoint(self._train_layer_fn)
                         if self.remat and ctx.train
                         else self._train_layer_fn)
+            balance_total, z_total = 0.0, 0.0
             for i in range(self.depth):
-                x = layer_fn(self._layer_params(params, i), x,
-                             all_keys_mask, enc_data,
-                             self._train_layer_rngs(ctx, i,
-                                                    len(enc_data)))
+                out = layer_fn(self._layer_params(params, i), x,
+                               all_keys_mask, enc_data,
+                               self._train_layer_rngs(ctx, i,
+                                                      len(enc_data)),
+                               moe_mask)
+                if moe:
+                    x, aux = out
+                    balance_total = balance_total + aux["balance"]
+                    z_total = z_total + aux["z"]
+                else:
+                    x = out
+            self._add_moe_losses(ctx, balance_total, z_total)
             return x
 
         att_drop = (ctx.train
                     and self.attention_dropout_keep_prob < 1.0)
         res_drop = ctx.train and self.dropout_keep_prob < 1.0
+        noise = (ctx.train and moe and self.moe_router_noise > 0.0)
         per_layer = None
-        if att_drop or res_drop:
+        if att_drop or res_drop or noise:
             sites = (["self_att", "res_self", "res_ff"]
                      + [f"res_cross_{e}"
                         for e in range(len(enc_data))])
+            if noise:
+                sites.append("moe_noise")
             per_layer = {
                 site: jnp.stack([
                     ctx.make_rng(self, f"pipe_{site}_{i}")
@@ -349,7 +368,7 @@ class TransformerDecoder(AutoregressiveDecoder):
         def layer_fn(layer_p, layer_a, h, aux):
             if layer_a is None:
                 rngs = {"self_att": None, "res_self": None,
-                        "res_ff": None,
+                        "res_ff": None, "moe_noise": None,
                         "res_cross": [None] * len(enc_data)}
             else:
                 mb = aux["mb"][0]
@@ -361,18 +380,39 @@ class TransformerDecoder(AutoregressiveDecoder):
                     "self_att": fold("self_att", att_drop),
                     "res_self": fold("res_self", res_drop),
                     "res_ff": fold("res_ff", res_drop),
+                    "moe_noise": fold("moe_noise", noise),
                     "res_cross": [fold(f"res_cross_{e}", res_drop)
                                   for e in range(len(enc_data))],
                 }
             return self._train_layer_fn(layer_p, h, aux["mask"],
-                                        aux["enc_data"], rngs)
+                                        aux["enc_data"], rngs,
+                                        aux.get("moe_mask"),
+                                        moe_stats=moe)
 
         if self.remat and ctx.train:
             layer_fn = jax.checkpoint(layer_fn)
         aux = {"mask": all_keys_mask, "enc_data": enc_data,
                "mb": mb_ord}
-        return gpipe_apply(layer_fn, params["layers"], per_layer, x,
-                           aux, n_microbatches=n_micro)
+        if moe and moe_mask is not None:
+            aux["moe_mask"] = moe_mask
+        out = gpipe_apply(layer_fn, params["layers"], per_layer, x,
+                          aux, n_microbatches=n_micro,
+                          aux_fn=moe_combine_stats if moe else None)
+        if moe:
+            x, totals = out
+            self._add_moe_losses(ctx, totals["balance"], totals["z"])
+            return x
+        return out
+
+    def _add_moe_losses(self, ctx: Context, balance_total, z_total):
+        if self.moe_experts > 1 and ctx.train:
+            ctx.add_aux_loss(
+                self, "moe_balance",
+                self.moe_aux_weight * balance_total / self.depth)
+            if self.moe_z_loss_weight > 0.0:
+                ctx.add_aux_loss(
+                    self, "moe_z",
+                    self.moe_z_loss_weight * z_total / self.depth)
 
     @tensor
     def train_logits(self, ctx: Context):
@@ -393,17 +433,18 @@ class TransformerDecoder(AutoregressiveDecoder):
             enc_data.append((enc.temporal_states(ctx),
                              enc.temporal_mask(ctx)))
 
+        # padding tokens are excluded from MoE routing (capacity
+        # slots and the balance loss track real tokens only)
+        moe_mask = (self.train_mask(ctx)
+                    if self.moe_experts > 1 else None)
         if self.pipeline_stages > 1:
             x = self._pipelined_train_layers(ctx, params, x,
-                                             all_keys_mask, enc_data)
+                                             all_keys_mask, enc_data,
+                                             moe_mask)
         else:
             layer_fn = (jax.checkpoint(self._train_layer_fn)
                         if self.remat and ctx.train
                         else self._train_layer_fn)
-            # padding tokens are excluded from MoE routing (capacity
-            # slots and the balance loss track real tokens only)
-            moe_mask = (self.train_mask(ctx)
-                        if self.moe_experts > 1 else None)
             balance_total, z_total = 0.0, 0.0
             for i in range(self.depth):
                 out = layer_fn(params[f"layer_{i}"], x, all_keys_mask,
@@ -417,14 +458,7 @@ class TransformerDecoder(AutoregressiveDecoder):
                     z_total = z_total + aux["z"]
                 else:
                     x = out
-            if self.moe_experts > 1 and ctx.train:
-                ctx.add_aux_loss(
-                    self, "moe_balance",
-                    self.moe_aux_weight * balance_total / self.depth)
-                if self.moe_z_loss_weight > 0.0:
-                    ctx.add_aux_loss(
-                        self, "moe_z",
-                        self.moe_z_loss_weight * z_total / self.depth)
+            self._add_moe_losses(ctx, balance_total, z_total)
 
         x = layer_norm(params["ln_out"], x)
         table = ctx.get_params(self.embeddings)["embeddings"]

@@ -21,7 +21,8 @@ from ...ops.attention import (attention_bias_from_mask, ffn, ffn_init,
                               layer_norm, layer_norm_init, mha_init,
                               multi_head_attention,
                               sinusoidal_position_encoding)
-from ...ops.moe import moe_ffn, moe_init, moe_partition_specs
+from ...ops.moe import (moe_combine_stats, moe_ffn, moe_init,
+                        moe_partition_specs)
 from ...ops.sharding import constrain_sequence
 from ...vocabulary import Vocabulary
 
@@ -119,10 +120,6 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
         self.moe_aux_weight = moe_aux_weight
         self.moe_router_noise = moe_router_noise
         self.moe_z_loss_weight = moe_z_loss_weight
-        if moe_experts > 1 and pipeline_stages > 1:
-            raise ValueError(
-                "moe_experts cannot combine with pipeline_stages "
-                "(expert and pipe mesh axes are exclusive)")
 
     @property
     def state_dim(self) -> int:
@@ -182,8 +179,10 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
             for ln in ("ln_att", "ln_ff"):
                 for leaf in ("scale", "bias"):
                     specs[f"layers/{ln}/{leaf}"] = ("pipe", None)
-            for sub, cols, rows in (("att", ("q", "k", "v"), ("o",)),
-                                    ("ff", ("in",), ("out",))):
+            subs = [("att", ("q", "k", "v"), ("o",))]
+            if self.moe_experts <= 1:
+                subs.append(("ff", ("in",), ("out",)))
+            for sub, cols, rows in subs:
                 for p in cols:  # output columns sharded
                     specs[f"layers/{sub}/{p}/w"] = \
                         ("pipe", None, "model")
@@ -192,6 +191,11 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
                     specs[f"layers/{sub}/{p}/w"] = \
                         ("pipe", "model", None)
                     specs[f"layers/{sub}/{p}/b"] = ("pipe", None)
+            if self.moe_experts > 1:
+                # stacked MoE: expert axis follows the layer axis;
+                # hidden dims keep the Megatron pattern (EP x PP x TP)
+                from ...ops.moe import moe_stacked_partition_specs
+                specs.update(moe_stacked_partition_specs("layers/ff"))
             return specs
         for i in range(self.depth):
             specs.update(mha_partition_specs(f"layer_{i}/att"))
@@ -215,9 +219,12 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
             return states + params["position_emb"][None, :time]
         return states
 
-    def _layer_fn(self, layer, states, mask, rngs):
+    def _layer_fn(self, layer, states, mask, rngs, moe_stats=False):
         """One encoder layer as a pure function (rngs may hold None
-        entries outside train mode) so it can ride ``jax.checkpoint``."""
+        entries outside train mode) so it can ride ``jax.checkpoint``.
+        ``moe_stats=True`` returns the MoE aux as RAW routing sums
+        (for the GPipe executor's cross-microbatch accumulation)
+        instead of the combined balance/z losses."""
         normed = layer_norm(layer["ln_att"], states)
         att_out = multi_head_attention(
             layer["att"], normed, normed, normed, self.n_heads,
@@ -238,7 +245,8 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
                 dropout_rng=rngs["ff"],
                 dropout_keep_prob=self.dropout_keep_prob,
                 router_noise=self.moe_router_noise,
-                noise_rng=rngs.get("moe_noise"))
+                noise_rng=rngs.get("moe_noise"),
+                return_stats=moe_stats)
             ff_out = _maybe_dropout(ff_out, self.dropout_keep_prob,
                                     rngs["res_ff"])
             return constrain_sequence(states + ff_out), aux
@@ -277,6 +285,7 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
         from ...parallel.pipeline import gpipe_apply, pipeline_mesh
         mesh = pipeline_mesh()
         batch = states.shape[0]
+        moe = self.moe_experts > 1
         n_micro = self.pipeline_microbatches or (
             mesh.shape["pipe"] if mesh is not None
             else self.pipeline_stages)
@@ -285,56 +294,88 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
                 or (batch // n_micro) % dp):
             layer_fn = (jax.checkpoint(self._layer_fn)
                         if self.remat and ctx.train else self._layer_fn)
+            balance_total, z_total = 0.0, 0.0
             for i in range(self.depth):
                 layer = jax.tree_util.tree_map(
                     lambda a, i=i: a[i], params["layers"])
-                states = layer_fn(layer, states, mask,
-                                  self._layer_rngs(ctx, i))
+                out = layer_fn(layer, states, mask,
+                               self._layer_rngs(ctx, i))
+                if moe:
+                    states, aux = out
+                    balance_total = balance_total + aux["balance"]
+                    z_total = z_total + aux["z"]
+                else:
+                    states = out
+            self._add_moe_losses(ctx, balance_total, z_total)
             return states
 
         att_drop = (ctx.train
                     and self.attention_dropout_keep_prob < 1.0)
         res_drop = ctx.train and self.dropout_keep_prob < 1.0
+        noise = (ctx.train and moe and self.moe_router_noise > 0.0)
         per_layer = None
-        if att_drop or res_drop:
+        if att_drop or res_drop or noise:
             # stacked per-layer keys, folded with the microbatch
             # ordinal inside the layer so each microbatch draws its
             # own dropout mask (a different rng layout than the
             # sequential path — dropout is sampling either way)
+            sites = ["att", "ff", "res_att", "res_ff"]
+            if noise:
+                sites.append("moe_noise")
             per_layer = {
                 site: jnp.stack([
                     ctx.make_rng(self, f"pipe_{site}_{i}")
                     for i in range(self.depth)])
-                for site in ("att", "ff", "res_att", "res_ff")}
+                for site in sites}
         # every example carries its microbatch ordinal so the layer
         # can recover it after the batch split
         mb_ord = jnp.repeat(jnp.arange(n_micro), batch // n_micro)
 
         def layer_fn(layer_p, layer_a, h, aux):
             if layer_a is None:
-                rngs = {s: None
-                        for s in ("att", "ff", "res_att", "res_ff")}
+                rngs = {s: None for s in
+                        ("att", "ff", "res_att", "res_ff",
+                         "moe_noise")}
             else:
                 mb = aux["mb"][0]
+
+                def fold(site, gate):
+                    return (jax.random.fold_in(layer_a[site], mb)
+                            if gate else None)
                 rngs = {
-                    "att": (jax.random.fold_in(layer_a["att"], mb)
-                            if att_drop else None),
-                    "ff": (jax.random.fold_in(layer_a["ff"], mb)
-                           if res_drop else None),
-                    "res_att": (
-                        jax.random.fold_in(layer_a["res_att"], mb)
-                        if res_drop else None),
-                    "res_ff": (
-                        jax.random.fold_in(layer_a["res_ff"], mb)
-                        if res_drop else None),
+                    "att": fold("att", att_drop),
+                    "ff": fold("ff", res_drop),
+                    "res_att": fold("res_att", res_drop),
+                    "res_ff": fold("res_ff", res_drop),
+                    "moe_noise": fold("moe_noise", noise),
                 }
-            return self._layer_fn(layer_p, h, aux["mask"], rngs)
+            return self._layer_fn(layer_p, h, aux["mask"], rngs,
+                                  moe_stats=moe)
 
         if self.remat and ctx.train:
             layer_fn = jax.checkpoint(layer_fn)
-        return gpipe_apply(layer_fn, params["layers"], per_layer,
-                           states, {"mask": mask, "mb": mb_ord},
-                           n_microbatches=n_micro)
+        out = gpipe_apply(layer_fn, params["layers"], per_layer,
+                          states, {"mask": mask, "mb": mb_ord},
+                          n_microbatches=n_micro,
+                          aux_fn=moe_combine_stats if moe else None)
+        if moe:
+            # the executor accumulated each layer's routing sums over
+            # all microbatches before folding, so these totals equal
+            # the sequential stack's (exact full-batch balance/z)
+            states, aux = out
+            self._add_moe_losses(ctx, aux["balance"], aux["z"])
+            return states
+        return out
+
+    def _add_moe_losses(self, ctx: Context, balance_total, z_total):
+        if self.moe_experts > 1 and ctx.train:
+            ctx.add_aux_loss(
+                self, "moe_balance",
+                self.moe_aux_weight * balance_total / self.depth)
+            if self.moe_z_loss_weight > 0.0:
+                ctx.add_aux_loss(
+                    self, "moe_z",
+                    self.moe_z_loss_weight * z_total / self.depth)
 
     @tensor
     def temporal_states(self, ctx: Context):
@@ -361,14 +402,7 @@ class TransformerEncoder(ModelPart, TemporalStatefulWithOutput):
                     z_total = z_total + aux["z"]
                 else:
                     states = out
-            if self.moe_experts > 1 and ctx.train:
-                ctx.add_aux_loss(
-                    self, "moe_balance",
-                    self.moe_aux_weight * balance_total / self.depth)
-                if self.moe_z_loss_weight > 0.0:
-                    ctx.add_aux_loss(
-                        self, "moe_z",
-                        self.moe_z_loss_weight * z_total / self.depth)
+            self._add_moe_losses(ctx, balance_total, z_total)
 
         states = layer_norm(params["ln_out"], states)
         # zero out padding positions for clean downstream pooling

@@ -215,7 +215,8 @@ def _fused_logits_rowmax_lse_reference(
 
 
 def _fused_kernel(x_ref, w_ref, b_ref, out_ref, rowmax_ref, lse_ref,
-                  m_s, s_s, *, gpv: int, n_vtiles: int, r_pad: int):
+                  m_s, s_s, *, gpv: int, n_vtiles: int, r_pad: int,
+                  out_3d: bool = False):
     from jax.experimental import pallas as pl
 
     j = pl.program_id(1)
@@ -225,6 +226,38 @@ def _fused_kernel(x_ref, w_ref, b_ref, out_ref, rowmax_ref, lse_ref,
         rowmax_ref[:] = jnp.full(rowmax_ref.shape, _NEG, jnp.float32)
         m_s[:] = jnp.full(m_s.shape, _NEG, jnp.float32)
         s_s[:] = jnp.zeros(s_s.shape, jnp.float32)
+
+    if out_3d:
+        # window-tiled logits: out_ref is (nt, gpv, 128). One dot per
+        # 128-lane group — the full (nt, vt) tile never materializes
+        # (it exceeds scoped VMEM alongside the out block at the bench
+        # tiling), and each group's rowmax/lse folds directly.
+        nt = x_ref.shape[0]
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (nt, r_pad), 1)
+        acc = rowmax_ref[:]
+        m_new = m_s[:, :1]
+        s_new = s_s[:, :1]
+        for g in range(gpv):  # static unroll; gpv groups per tile
+            tg = (jnp.dot(x_ref[:], w_ref[:, g * LANE:(g + 1) * LANE],
+                          preferred_element_type=jnp.float32)
+                  + b_ref[:, g * LANE:(g + 1) * LANE])
+            out_ref[:, g, :] = tg
+            mg = jnp.max(tg, axis=1, keepdims=True)
+            acc = jnp.where(lane_r == j * gpv + g, mg, acc)
+            m_prev, s_prev = m_new, s_new
+            m_new = jnp.maximum(m_prev, mg)
+            s_new = (s_prev * jnp.exp(m_prev - m_new)
+                     + jnp.sum(jnp.exp(tg - m_new), axis=1,
+                               keepdims=True))
+        rowmax_ref[:] = acc
+        m_s[:] = jnp.broadcast_to(m_new, m_s.shape)
+        s_s[:] = jnp.broadcast_to(s_new, s_s.shape)
+
+        @pl.when(j == n_vtiles - 1)
+        def _finish_3d():
+            lse_ref[:] = jnp.broadcast_to(m_new + jnp.log(s_new),
+                                          lse_ref.shape)
+        return
 
     t = (jnp.dot(x_ref[:], w_ref[:],
                  preferred_element_type=jnp.float32) + b_ref[:])
@@ -258,7 +291,7 @@ def _fused_kernel(x_ref, w_ref, b_ref, out_ref, rowmax_ref, lse_ref,
                                       lse_ref.shape)
 
 
-def _fused_tiling(n: int, d: int, vp: int):
+def _fused_tiling(n: int, d: int, vp: int, logits_3d: bool = False):
     """Pick (nt, vt) so one row tile and a double-buffered vocab tile
     fit VMEM; returns None when no divisor works. vt maximizes MXU
     tile width; nt maximizes W reuse (W streams N/nt times)."""
@@ -284,14 +317,21 @@ def _fused_tiling(n: int, d: int, vp: int):
                    + 2 * nt * vt     # logits out block
                    + nt * r_pad      # rowmax out block
                    + 3 * nt * LANE)  # lse + m/s scratch
+        if logits_3d:
+            # the window-tiled kernel's scoped VMEM measures FAR above
+            # this estimate (20.66 MB actual vs 12.4 estimated at
+            # nt=640, vt=1024 — Mosaic keeps the unrolled per-group
+            # tiles live); pad by 2·nt·vt so the bench shapes land on
+            # nt=320 (measured ~12.4 MB actual, compiles)
+            est += 4 * 2 * nt * vt
         if est <= budget:
             return nt, vt, gpv, r_pad
     return None
 
 
 def _fused_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
-                  tiling) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                   jnp.ndarray]:
+                  tiling, logits_3d: bool = False
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -300,9 +340,23 @@ def _fused_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     r = vp // LANE
     nt, vt, gpv, r_pad = tiling
     n_vtiles = vp // vt
+    if logits_3d:
+        # logits leave the kernel window-tiled (N, R, 128): the beam
+        # selector's stage-2 view (B, K·R, 128) is then a FREE bitcast
+        # (R % 8 == 0 aligns the sublane tiles), where reshaping the
+        # row-tiled (N, Vp) form costs a full ~2·N·Vp·4-byte HBM
+        # relayout (~1 ms/step at beam 20 bench shapes, measured)
+        logits_spec = pl.BlockSpec((nt, gpv, LANE),
+                                   lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM)
+        logits_shape = jax.ShapeDtypeStruct((n, r, LANE), jnp.float32)
+    else:
+        logits_spec = pl.BlockSpec((nt, vt), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM)
+        logits_shape = jax.ShapeDtypeStruct((n, vp), jnp.float32)
     logits, rowmax, lse = pl.pallas_call(
         partial(_fused_kernel, gpv=gpv, n_vtiles=n_vtiles,
-                r_pad=r_pad),
+                r_pad=r_pad, out_3d=logits_3d),
         grid=(n // nt, n_vtiles),
         in_specs=[
             pl.BlockSpec((nt, d), lambda i, j: (i, 0),
@@ -313,15 +367,14 @@ def _fused_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((nt, vt), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
+            logits_spec,
             pl.BlockSpec((nt, r_pad), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nt, LANE), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n, vp), jnp.float32),
+            logits_shape,
             jax.ShapeDtypeStruct((n, r_pad), jnp.float32),
             jax.ShapeDtypeStruct((n, LANE), jnp.float32),
         ),
@@ -336,7 +389,7 @@ def _fused_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
 
 def fused_logits_rowmax_lse(
         x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
-        force_pallas: bool = None
+        force_pallas: bool = None, logits_3d: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Logit projection with the hierarchical beam selector's two
     reductions fused into its epilogue: logits = x·w + b are computed
@@ -348,14 +401,31 @@ def fused_logits_rowmax_lse(
 
     x: (N, D) prelogit rows, w: (D, Vp) lane-aligned projection,
     b: (1, Vp) bias (pad columns carry a large negative bias).
-    Returns (logits (N, Vp) f32, rowmax (N, Vp/128), lse (N,)).
-    Ineligible shapes/backends take the pure-JAX reference."""
+    Returns (logits, rowmax (N, Vp/128), lse (N,)).
+    Ineligible shapes/backends take the pure-JAX reference.
+
+    ``logits_3d=True`` returns the logits window-tiled as
+    (N, Vp/128, 128) instead of (N, Vp) — with Vp/128 a multiple of 8
+    the kernel writes that layout DIRECTLY, so the beam selector's
+    stage-2 candidate gather never pays the row-tiled→window-tiled
+    HBM relayout (~1 ms/step at (1280, 30080); the two layouts tile
+    sublanes over different axes, so XLA must otherwise copy)."""
     n, d = x.shape
     vp = w.shape[1]
+    if logits_3d and vp % LANE:
+        raise ValueError("logits_3d requires a lane-aligned Vp")
+
+    def _reference():
+        logits, rowmax, lse = _fused_logits_rowmax_lse_reference(
+            x, w, b)
+        if logits_3d:
+            logits = logits.reshape(n, vp // LANE, LANE)
+        return logits, rowmax, lse
+
     enabled = use_pallas() if force_pallas is None else force_pallas
     if (not enabled or n % SUBLANES or vp % LANE or d % LANE
             or x.dtype != jnp.float32 or w.dtype != jnp.float32):
-        return _fused_logits_rowmax_lse_reference(x, w, b)
+        return _reference()
     from .kernel_config import spmd_wrap_mesh
     mesh = spmd_wrap_mesh()
     if mesh is not None:
@@ -365,23 +435,36 @@ def fused_logits_rowmax_lse(
         dp = mesh.shape.get("data", 1)
         if any(size > 1 for name, size in mesh.shape.items()
                if name != "data"):
-            return _fused_logits_rowmax_lse_reference(x, w, b)
+            return _reference()
         if n % dp:
-            return _fused_logits_rowmax_lse_reference(x, w, b)
-        tiling = _fused_tiling(n // dp, d, vp)
+            return _reference()
+        tiling = _fused_tiling(n // dp, d, vp,
+                               logits_3d=logits_3d)
         if tiling is None or (n // dp) % SUBLANES:
-            return _fused_logits_rowmax_lse_reference(x, w, b)
+            return _reference()
+        kern_3d = logits_3d and tiling[2] % SUBLANES == 0
         from jax.sharding import PartitionSpec as P
+        logits_out = (P("data", None, None) if kern_3d
+                      else P("data", None))
         wrapped = jax.shard_map(
-            partial(_fused_pallas, tiling=tiling), mesh=mesh,
+            partial(_fused_pallas, tiling=tiling, logits_3d=kern_3d),
+            mesh=mesh,
             in_specs=(P("data", None), P(None, None), P(None, None)),
-            out_specs=(P("data", None), P("data", None), P("data")),
+            out_specs=(logits_out, P("data", None), P("data")),
             check_vma=False)
-        return wrapped(x, w, b)
-    tiling = _fused_tiling(n, d, vp)
+        logits, rowmax, lse = wrapped(x, w, b)
+        if logits_3d and not kern_3d:
+            logits = logits.reshape(n, vp // LANE, LANE)
+        return logits, rowmax, lse
+    tiling = _fused_tiling(n, d, vp, logits_3d=logits_3d)
     if tiling is None:
-        return _fused_logits_rowmax_lse_reference(x, w, b)
-    return _fused_pallas(x, w, b, tiling)
+        return _reference()
+    kern_3d = logits_3d and tiling[2] % SUBLANES == 0
+    logits, rowmax, lse = _fused_pallas(x, w, b, tiling,
+                                        logits_3d=kern_3d)
+    if logits_3d and not kern_3d:
+        logits = logits.reshape(n, vp // LANE, LANE)
+    return logits, rowmax, lse
 
 
 def rowmax_lse(x: jnp.ndarray, force_pallas: bool = None

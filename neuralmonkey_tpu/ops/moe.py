@@ -110,11 +110,39 @@ def moe_partition_specs(prefix: str) -> Dict[str, tuple]:
             f"{prefix}/out/b": ("expert", None)}
 
 
+def moe_stacked_partition_specs(prefix: str) -> Dict[str, tuple]:
+    """Pipeline-stacked MoE specs (EP x PP): the leading LAYER axis
+    shards over 'pipe', then the :func:`moe_partition_specs` pattern
+    (expert axis + Megatron 'model' dims) — each pipeline stage holds
+    only its own layers' expert weights, themselves split over the
+    'expert' groups. The router is declared too so its stacked layers
+    follow their stage."""
+    out = {k: ("pipe",) + v
+           for k, v in moe_partition_specs(prefix).items()}
+    out[f"{prefix}/router/w"] = ("pipe", None, None)
+    return out
+
+
 def moe_capacity(group_size: int, n_experts: int, top_k: int,
                  capacity_factor: float) -> int:
     """Static per-expert capacity per token group."""
     return max(1, min(group_size, int(math.ceil(
         capacity_factor * top_k * group_size / n_experts))))
+
+
+def moe_combine_stats(stats: Dict[str, jnp.ndarray]
+                      ) -> Dict[str, jnp.ndarray]:
+    """Fold the raw routing sums from ``moe_ffn(return_stats=True)``
+    into the loss scalars. The sums are linear in the tokens, so they
+    can be accumulated across microbatches first (the GPipe executor
+    does exactly this) and combined once — giving the EXACT full-batch
+    balance/z losses regardless of how the batch was split."""
+    count = jnp.maximum(stats["count"], 1.0)
+    load = stats["top1_sum"] / count
+    prob_mean = stats["prob_sum"] / count
+    n_experts = stats["top1_sum"].shape[-1]
+    return {"balance": n_experts * jnp.sum(load * prob_mean),
+            "z": stats["z_sum"] / count}
 
 
 def moe_ffn(params: Dict, x: jnp.ndarray,
@@ -125,7 +153,8 @@ def moe_ffn(params: Dict, x: jnp.ndarray,
             dropout_rng=None,
             dropout_keep_prob: float = 1.0,
             router_noise: float = 0.0,
-            noise_rng=None
+            noise_rng=None,
+            return_stats: bool = False
             ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Mixture-of-experts position-wise FFN.
 
@@ -147,6 +176,12 @@ def moe_ffn(params: Dict, x: jnp.ndarray,
       ``balance`` — Switch load-balance loss (1 at perfect balance);
       ``z`` — router z-loss, mean over valid tokens of
       logsumexp(logits)² (penalizes drifting logit scales).
+      With ``return_stats=True`` the aux dict instead holds the RAW
+      sums behind those losses (``top1_sum``/``prob_sum`` (E,),
+      ``count``/``z_sum`` scalars) — linear in the tokens, so a caller
+      that splits the batch (GPipe microbatching) can accumulate them
+      and fold once via :func:`moe_combine_stats` for the exact
+      full-batch losses.
 
     Memory: the dense dispatch/combine tensors are (G, S, E, C) — at
     the framework's sentence lengths (<= ~512 BPE tokens, SURVEY.md
@@ -223,13 +258,19 @@ def moe_ffn(params: Dict, x: jnp.ndarray,
     z_sq = jax.nn.logsumexp(logits, axis=-1) ** 2      # (G, S)
     if mask is not None:
         m = mask.astype(jnp.float32)
-        denom = jnp.maximum(jnp.sum(m), 1.0)
-        load = jnp.sum(top1, axis=(0, 1)) / denom
-        prob_mean = jnp.sum(probs * m[..., None], axis=(0, 1)) / denom
-        z_loss = jnp.sum(z_sq * m) / denom
+        stats = {
+            "top1_sum": jnp.sum(top1, axis=(0, 1)),
+            "prob_sum": jnp.sum(probs * m[..., None], axis=(0, 1)),
+            "count": jnp.sum(m),
+            "z_sum": jnp.sum(z_sq * m),
+        }
     else:
-        load = jnp.mean(top1, axis=(0, 1))
-        prob_mean = jnp.mean(probs, axis=(0, 1))
-        z_loss = jnp.mean(z_sq)
-    balance = n_experts * jnp.sum(load * prob_mean)
-    return y.astype(x.dtype), {"balance": balance, "z": z_loss}
+        stats = {
+            "top1_sum": jnp.sum(top1, axis=(0, 1)),
+            "prob_sum": jnp.sum(probs, axis=(0, 1)),
+            "count": jnp.asarray(float(g * s), jnp.float32),
+            "z_sum": jnp.sum(z_sq),
+        }
+    if return_stats:
+        return y.astype(x.dtype), stats
+    return y.astype(x.dtype), moe_combine_stats(stats)

@@ -79,13 +79,17 @@ def gpipe_apply(layer_fn: Callable,
                 per_layer_aux: Any,
                 x,
                 mb_aux: Any,
-                n_microbatches: int = None):
+                n_microbatches: int = None,
+                aux_fn: Callable = None):
     """Run a homogeneous layer stack as a GPipe pipeline.
 
     Args:
       layer_fn: ``(layer_params, layer_aux, x_mb, aux_mb) -> x_mb``;
         one layer on one microbatch. Must be collective-free (pure
-        per-example compute).
+        per-example compute). With ``aux_fn``, returns
+        ``(x_mb, stats)`` instead, where ``stats`` is a pytree of
+        per-layer sums LINEAR in the microbatch's tokens (e.g. MoE
+        routing statistics).
       stacked_params: layer params stacked on a leading axis of size
         L (total layers); sharded over 'pipe' (L % S == 0).
       per_layer_aux: pytree stacked like ``stacked_params`` (e.g.
@@ -95,8 +99,17 @@ def gpipe_apply(layer_fn: Callable,
         microbatch carries alongside x (masks, encoder states, ...).
         Replicated over 'pipe'; split over microbatches with x.
       n_microbatches: M; defaults to the stage count S.
+      aux_fn: ``(stats) -> pytree of scalars``, folding ONE layer's
+        microbatch-accumulated stats into its loss terms (e.g.
+        ``moe_combine_stats``). Stats from fill/drain garbage ticks
+        are masked to zero before accumulation, so each layer folds
+        exactly its full-batch sums — the returned scalars equal the
+        sequential stack's per-layer values. Requires partial-auto
+        ``jax.shard_map`` (the stats ride GSPMD-global values).
 
-    Returns (B, T, D), equal to running the layers sequentially.
+    Returns (B, T, D), equal to running the layers sequentially —
+    or ``((B, T, D), aux)`` with ``aux_fn``, where ``aux`` is the
+    per-layer ``aux_fn`` outputs SUMMED over all L layers.
     """
     import jax
     import jax.numpy as jnp
@@ -141,12 +154,17 @@ def gpipe_apply(layer_fn: Callable,
         def run_stage(h, aux_mb):
             def body(carry, layer):
                 layer_p, layer_a = layer
-                return layer_fn(layer_p, layer_a, carry, aux_mb), None
-            out, _ = jax.lax.scan(body, h, (stacked_local, aux_local))
-            return out
+                out = layer_fn(layer_p, layer_a, carry, aux_mb)
+                if aux_fn is not None:
+                    return out  # (h, stats)
+                return out, None
+            out, stats = jax.lax.scan(body, h,
+                                      (stacked_local, aux_local))
+            return out, stats  # stats: (L_local, ...) pytree or None
 
         carry = jnp.zeros_like(x_local[0])
         outs = jnp.zeros_like(x_local)
+        stats_acc = None
         for t in range(n_micro + n_stages - 1):
             # stage s processes microbatch t - s at tick t; out-of-range
             # ticks compute garbage that is masked out below
@@ -157,7 +175,18 @@ def gpipe_apply(layer_fn: Callable,
                 lambda a: jax.lax.dynamic_index_in_dim(
                     a, mb_here, axis=0, keepdims=False),
                 mb_aux_local)
-            h = run_stage(h_in, aux_here)
+            h, stats = run_stage(h_in, aux_here)
+            if aux_fn is not None:
+                # fill/drain ticks re-run a clipped microbatch; their
+                # stats must not count twice (the outputs are masked
+                # downstream anyway, the sums would not be)
+                valid = ((t - stage >= 0)
+                         & (t - stage < n_micro)).astype(jnp.float32)
+                masked = jax.tree_util.tree_map(
+                    lambda s: s * valid, stats)
+                stats_acc = (masked if stats_acc is None
+                             else jax.tree_util.tree_map(
+                                 jnp.add, stats_acc, masked))
             if t >= n_stages - 1:
                 out_idx = t - (n_stages - 1)
                 outs = jnp.where(
@@ -172,9 +201,19 @@ def gpipe_apply(layer_fn: Callable,
                      for i in range(n_stages)])
         # replicate the last stage's outputs across the pipe axis;
         # other stages contribute exact zeros
-        return jax.lax.psum(
+        out = jax.lax.psum(
             jnp.where(stage == n_stages - 1, outs,
                       jnp.zeros_like(outs)), "pipe")
+        if aux_fn is None:
+            return out
+        # fold each local layer's full-batch sums into its loss terms,
+        # sum over this stage's layers, then over stages: each layer
+        # lives on exactly one stage, so the psum totals all L layers
+        per_layer_vals = jax.vmap(aux_fn)(stats_acc)
+        local = jax.tree_util.tree_map(
+            lambda a: jnp.sum(a, axis=0), per_layer_vals)
+        total = jax.lax.psum(local, "pipe")
+        return out, total
 
     stack_specs = jax.tree_util.tree_map(lambda _: stack_spec,
                                          stacked_params)
@@ -192,17 +231,23 @@ def gpipe_apply(layer_fn: Callable,
         # (XLA inserts the TP psums per tick from the param shardings
         # alone).
         plain = P()
+        out_sp = plain if aux_fn is None else (plain, plain)
         wrapped = sm(
             per_device, mesh=mesh,
             in_specs=(stack_specs, aux_specs, plain,
                       jax.tree_util.tree_map(lambda _: plain,
                                              mb_aux_mb)),
-            out_specs=plain, axis_names={"pipe"}, check_vma=False)
+            out_specs=out_sp, axis_names={"pipe"}, check_vma=False)
     else:
         # older jax: fully-manual fallback. No TP composition, and
         # dropout inside the body samples per-device shapes with an
         # unfolded key — masks repeat across data shards (the
         # partial-auto path above samples the global shape instead).
+        if aux_fn is not None:
+            raise RuntimeError(
+                "gpipe_apply(aux_fn=...) needs partial-auto "
+                "jax.shard_map (jax >= 0.4.32): the per-layer stats "
+                "are sums over the GSPMD-global batch")
         from jax.experimental.shard_map import shard_map
         mb_aux_specs = jax.tree_util.tree_map(lambda _: mb_spec,
                                               mb_aux_mb)
@@ -210,5 +255,9 @@ def gpipe_apply(layer_fn: Callable,
             per_device, mesh=mesh,
             in_specs=(stack_specs, aux_specs, mb_spec, mb_aux_specs),
             out_specs=mb_spec, check_rep=False)
-    out = wrapped(stacked_params, per_layer_aux, x_mb, mb_aux_mb)
-    return out.reshape((batch,) + out.shape[2:])
+    res = wrapped(stacked_params, per_layer_aux, x_mb, mb_aux_mb)
+    out, aux_total = res if aux_fn is not None else (res, None)
+    out = out.reshape((batch,) + out.shape[2:])
+    if aux_fn is not None:
+        return out, aux_total
+    return out

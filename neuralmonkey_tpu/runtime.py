@@ -115,10 +115,15 @@ class TPUManager:
             raise ValueError(
                 "num_pipeline_stages + num_model_shards needs "
                 "partial-auto jax.shard_map (jax >= 0.4.32)")
-        if num_expert_shards > 1 and num_pipeline_stages > 1:
+        if num_expert_shards > 1 and num_pipeline_stages > 1 \
+                and not hasattr(jax, "shard_map"):
+            # EP x PP: the MoE routing sums accumulated inside the
+            # GPipe executor (gpipe_apply aux_fn) and the expert
+            # all-to-alls both need the pipeline body's non-'pipe'
+            # axes to stay GSPMD-managed
             raise ValueError(
-                "num_expert_shards cannot combine with "
-                "num_pipeline_stages")
+                "num_expert_shards + num_pipeline_stages needs "
+                "partial-auto jax.shard_map (jax >= 0.4.32)")
         if num_context_shards > 1 and num_model_shards > 1 \
                 and not hasattr(jax, "shard_map"):
             # without partial-auto shard_map the ring's fallback makes
@@ -134,7 +139,36 @@ class TPUManager:
                 "(ring attention inside each TP group) but not with "
                 "num_pipeline_stages/num_expert_shards — those own "
                 "their own shard_map layouts")
-        if num_expert_shards > 1:
+        if num_expert_shards > 1 and num_pipeline_stages > 1:
+            # EP x PP(, x TP): layer stacks stage over 'pipe' (manual
+            # inside gpipe_apply's shard_map), each stage's expert
+            # weights split over 'expert', optional Megatron 'model'
+            # on the hidden dims — 'expert'/'model'/'data' all stay
+            # GSPMD-managed inside the stage body
+            span = (num_pipeline_stages * num_expert_shards
+                    * num_model_shards)
+            if self.n_devices % span:
+                raise ValueError(
+                    f"{self.n_devices} devices not divisible by "
+                    f"num_pipeline_stages*num_expert_shards"
+                    f"*num_model_shards={span}")
+            dp = self.n_devices // span
+            if num_model_shards > 1:
+                self.mesh = jax.sharding.Mesh(
+                    np.array(devices).reshape(
+                        dp, num_pipeline_stages, num_expert_shards,
+                        num_model_shards),
+                    axis_names=("data", "pipe", "expert", "model"))
+            else:
+                self.mesh = jax.sharding.Mesh(
+                    np.array(devices).reshape(
+                        dp, num_pipeline_stages, num_expert_shards),
+                    axis_names=("data", "pipe", "expert"))
+            from .ops.moe import enable_expert_sharding
+            from .parallel.pipeline import enable_pipeline
+            enable_expert_sharding(self.mesh)
+            enable_pipeline(self.mesh)
+        elif num_expert_shards > 1:
             span = num_expert_shards * num_model_shards
             if self.n_devices % span:
                 raise ValueError(

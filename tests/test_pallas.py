@@ -223,6 +223,45 @@ def test_fused_logits_rowmax_lse_matches_reference(shape):
                                    atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("shape", [(16, 128, 1024), (40, 512, 4096)])
+def test_fused_logits_3d_matches_reference(shape):
+    """Window-tiled (N, R, 128) logits emission (Vp/128 % 8 == 0):
+    same values as the 2-D reference, reshaped — the layout the beam
+    selector's stage-2 gather reads without an HBM relayout."""
+    from neuralmonkey_tpu.ops.beam_select import (
+        _fused_logits_rowmax_lse_reference, _fused_pallas,
+        _fused_tiling)
+    n, d, vp = shape
+    x = jnp.asarray(RNG.randn(n, d).astype(np.float32))
+    w = jnp.asarray(RNG.randn(d, vp).astype(np.float32) * 0.1)
+    b = jnp.asarray(RNG.randn(1, vp).astype(np.float32))
+    tiling = _fused_tiling(n, d, vp)
+    assert tiling is not None and tiling[2] % 8 == 0
+    got = _fused_pallas(x, w, b, tiling, logits_3d=True)
+    ref = _fused_logits_rowmax_lse_reference(x, w, b)
+    assert got[0].shape == (n, vp // 128, 128)
+    np.testing.assert_allclose(
+        np.asarray(got[0]).reshape(n, vp), np.asarray(ref[0]),
+        atol=2e-5, rtol=1e-5)
+    for g, r in zip(got[1:], ref[1:]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_fused_logits_3d_public_dispatch():
+    """fused_logits_rowmax_lse(logits_3d=True) returns (N, R, 128)
+    on every path, including the reference fallback."""
+    from neuralmonkey_tpu.ops.beam_select import fused_logits_rowmax_lse
+    x = jnp.asarray(RNG.randn(16, 128).astype(np.float32))
+    w = jnp.asarray(RNG.randn(128, 1024).astype(np.float32) * 0.1)
+    b = jnp.zeros((1, 1024), jnp.float32)
+    for force in (True, False):
+        logits, rm, lse = fused_logits_rowmax_lse(
+            x, w, b, force_pallas=force, logits_3d=True)
+        assert logits.shape == (16, 8, 128)
+        assert rm.shape == (16, 8) and lse.shape == (16,)
+
+
 def test_fused_logits_dispatch_fallback():
     """Ineligible shapes (N % 8, D % 128) take the reference path."""
     from neuralmonkey_tpu.ops.beam_select import fused_logits_rowmax_lse
