@@ -32,6 +32,7 @@ SRC_LEN = int(os.environ.get("BENCH_SRC_LEN", 32))
 BEAM = int(os.environ.get("BENCH_BEAM", 10))
 MAX_OUT = int(os.environ.get("BENCH_MAX_OUT", 48))
 TPU_REPEATS = int(os.environ.get("BENCH_REPEATS", 12))
+SPREAD_N = int(os.environ.get("BENCH_SPREAD_N", 3))
 CPU_BATCH = int(os.environ.get("BENCH_CPU_BATCH", 8))
 # transformer shape (production default; overridable for smoke tests)
 T_DIM = int(os.environ.get("BENCH_T_DIM", 512))
@@ -341,8 +342,42 @@ def verify_kernels_on_device() -> None:
     print("kernel check: flash_attention fwd+bwd OK", file=sys.stderr)
 
 
-def tpu_throughput() -> float:
-    """Whole search jitted on device."""
+def _spread(run_window, n: int = None, digits: int = 2) -> dict:
+    """Median/min/max over ``n`` in-process repeats of one timing
+    window (VERDICT r3 weak #2: a single run through the tunnel
+    varies ±8%; the artifact now carries the spread so the headline
+    is a median and the noise band is visible)."""
+    n = SPREAD_N if n is None else n
+    vals = sorted(run_window() for _ in range(n))
+    return {"value": round(vals[n // 2], digits),
+            "min": round(vals[0], digits),
+            "max": round(vals[-1], digits),
+            "n": n}
+
+
+def _decode_window(search, dec, params, batch) -> float:
+    """One timed decode window: TPU_REPEATS batches, host transfer +
+    ids→tokens postprocessing kept in the measured time (BASELINE.md
+    protocol) but pipelined one batch deep behind the NEXT batch's
+    device decode — the same pipeline the runtime's execute() uses."""
+    start = time.perf_counter()
+    total = 0
+    pending = None
+    for _ in range(TPU_REPEATS):
+        ids = search(params, batch)  # async dispatch
+        if pending is not None:
+            arr = np.asarray(pending)
+            _ = dec.vocabulary.vectors_to_sentences(arr[:, 0, :])
+            total += BATCH
+        pending = ids
+    arr = np.asarray(pending)
+    _ = dec.vocabulary.vectors_to_sentences(arr[:, 0, :])
+    total += BATCH
+    return total / (time.perf_counter() - start)
+
+
+def tpu_throughput() -> dict:
+    """Whole search jitted on device; spread over SPREAD_N windows."""
     import jax
     enc, dec, bs, params, batch, Context = build(BATCH)
 
@@ -354,27 +389,9 @@ def tpu_throughput() -> float:
     # block_until_ready does NOT cover the lazy remote compile — only an
     # actual device->host copy guarantees the program ran.
     for _ in range(2):
-        ids = np.asarray(search(params, batch))
+        _ = np.asarray(search(params, batch))
 
-    start = time.perf_counter()
-    total = 0
-    pending = None
-    for _ in range(TPU_REPEATS):
-        ids = search(params, batch)  # async dispatch
-        if pending is not None:
-            # host transfer + ids->tokens postprocessing stay in the
-            # measured time (BASELINE.md protocol) but run behind the
-            # NEXT batch's device decode — the same one-batch-deep
-            # pipeline the runtime's execute() uses
-            arr = np.asarray(pending)
-            _ = dec.vocabulary.vectors_to_sentences(arr[:, 0, :])
-            total += BATCH
-        pending = ids
-    arr = np.asarray(pending)
-    _ = dec.vocabulary.vectors_to_sentences(arr[:, 0, :])
-    total += BATCH
-    elapsed = time.perf_counter() - start
-    return total / elapsed
+    return _spread(lambda: _decode_window(search, dec, params, batch))
 
 
 def cpu_reference_throughput() -> float:
@@ -562,18 +579,26 @@ def train_throughput(model: str = "rnn") -> dict:
         params, opt_state, total = step(params, opt_state, batch, key)
         _ = float(total)
     steps = max(TPU_REPEATS * 2, 10)
-    start = time.perf_counter()
-    for _ in range(steps):
-        params, opt_state, total = step(params, opt_state, batch, key)
-    _ = float(total)  # device sync via host transfer
-    elapsed = time.perf_counter() - start
-    tokens = BATCH * MAX_OUT * steps
-    return {"tokens_per_sec": tokens / elapsed,
-            "examples_per_sec": BATCH * steps / elapsed,
-            "step_ms": elapsed / steps * 1000}
+    state = [params, opt_state]  # donated buffers persist per window
+
+    def window() -> float:
+        start = time.perf_counter()
+        for _ in range(steps):
+            state[0], state[1], total = step(
+                state[0], state[1], batch, key)
+        _ = float(total)  # device sync via host transfer
+        elapsed = time.perf_counter() - start
+        return BATCH * MAX_OUT * steps / elapsed
+
+    spread = _spread(window, digits=1)
+    return {"tokens_per_sec": spread["value"],
+            "spread": spread,
+            "examples_per_sec": spread["value"] / MAX_OUT,
+            "step_ms": BATCH * MAX_OUT / spread["value"] * 1000}
 
 
-def transformer_decode_throughput() -> float:
+def transformer_decode_throughput() -> dict:
+    """Beam-10 transformer decode; spread over SPREAD_N windows."""
     import jax
     enc, dec, bs, params, batch, Context = build_transformer(BATCH)
 
@@ -582,23 +607,8 @@ def transformer_decode_throughput() -> float:
         return bs.search(Context(p, b, train=False)).token_ids
 
     for _ in range(2):
-        ids = np.asarray(search(params, batch))
-    start = time.perf_counter()
-    total = 0
-    pending = None
-    for _ in range(TPU_REPEATS):
-        ids = search(params, batch)  # async dispatch
-        if pending is not None:
-            # post-process behind the next decode (pipeline, see
-            # tpu_throughput)
-            arr = np.asarray(pending)
-            _ = dec.vocabulary.vectors_to_sentences(arr[:, 0, :])
-            total += BATCH
-        pending = ids
-    arr = np.asarray(pending)
-    _ = dec.vocabulary.vectors_to_sentences(arr[:, 0, :])
-    total += BATCH
-    return total / (time.perf_counter() - start)
+        _ = np.asarray(search(params, batch))
+    return _spread(lambda: _decode_window(search, dec, params, batch))
 
 
 def lineage_flip_rate(model: str = "rnn") -> float:
@@ -1107,6 +1117,7 @@ def main() -> None:
                 "compute_dtype": dtype or "float32",
                 "value": round(result["tokens_per_sec"], 1),
                 "unit": "target tokens/sec/chip",
+                "spread": result["spread"],
                 "step_ms": round(result["step_ms"], 2)}))
         return
 
@@ -1114,21 +1125,24 @@ def main() -> None:
         for dtype in (None, "bfloat16"):
             from neuralmonkey_tpu.ops import policy
             policy.set_compute_dtype(dtype)
-            rate = transformer_decode_throughput()
+            stats = transformer_decode_throughput()
             print(json.dumps({
                 "metric": "transformer_beam10_sentences_per_sec",
                 "compute_dtype": dtype or "float32",
-                "value": round(rate, 2),
+                "value": stats["value"],
+                "spread": stats,
                 "unit": "sentences/sec/chip"}))
         return
 
     if "--bf16" in sys.argv:
         from neuralmonkey_tpu.ops import policy
         policy.set_compute_dtype("bfloat16")
+        stats = tpu_throughput()
         print(json.dumps({
             "metric": "beam10_decoded_sentences_per_sec_per_chip",
             "compute_dtype": "bfloat16",
-            "value": round(tpu_throughput(), 2),
+            "value": stats["value"],
+            "spread": stats,
             "unit": "sentences/sec/chip"}))
         return
 
@@ -1151,7 +1165,8 @@ def main() -> None:
         raise RuntimeError("CPU baseline failed")
 
     verify_kernels_on_device()
-    tpu_rate = tpu_throughput()
+    tpu_stats = tpu_throughput()
+    tpu_rate = tpu_stats["value"]
 
     # secondary headline metrics (VERDICT r1 item 4: one bench run
     # must regression-guard all four paths, not just RNN decode).
@@ -1171,16 +1186,23 @@ def main() -> None:
 
     if "--flagship-only" not in sys.argv:
         _try("transformer_beam10_sentences_per_sec",
-             lambda: round(transformer_decode_throughput(), 2))
+             transformer_decode_throughput)
         _try("rnn_train_tokens_per_sec",
-             lambda: round(train_throughput("rnn")["tokens_per_sec"], 1))
+             lambda: train_throughput("rnn")["spread"])
         _try("transformer_train_tokens_per_sec",
-             lambda: round(train_throughput("transformer")
-                           ["tokens_per_sec"], 1))
-        _try("rnn_lineage_flip_rate",
+             lambda: train_throughput("transformer")["spread"])
+        # RANDOM-weight flip rates are loose upper bounds (near-uniform
+        # logits maximize near-ties); the trained-weights rate measured
+        # 0.0 for both models (bench.py --flip, BASELINE.md) — the
+        # field names say so, so an artifact-only reader cannot read
+        # 9% as product behavior (VERDICT r3 weak #4)
+        _try("rnn_lineage_flip_rate_random_weights_upper_bound",
              lambda: round(lineage_flip_rate("rnn"), 5))
-        _try("transformer_lineage_flip_rate",
+        _try("transformer_lineage_flip_rate_random_weights_upper_bound",
              lambda: round(lineage_flip_rate("transformer"), 5))
+        extra["lineage_flip_rate_trained_weights"] = {
+            "note": "measured via bench.py --flip (400 real training "
+                    "steps): 0.0 for both models — BASELINE.md"}
 
     # achieved TFLOP/s + MFU for the four headline metrics (VERDICT
     # r2 item 3): analytic model FLOPs / measured wall time, against
@@ -1205,22 +1227,25 @@ def main() -> None:
     if extra.get("transformer_beam10_sentences_per_sec"):
         mfu["transformer_beam10_decode"] = _mfu_entry(
             flops["transformer_decode_batch"],
-            extra["transformer_beam10_sentences_per_sec"] / BATCH)
+            extra["transformer_beam10_sentences_per_sec"]["value"]
+            / BATCH)
     if extra.get("rnn_train_tokens_per_sec"):
         mfu["rnn_train"] = _mfu_entry(
             flops["rnn_train_step"],
-            extra["rnn_train_tokens_per_sec"] / (BATCH * MAX_OUT))
+            extra["rnn_train_tokens_per_sec"]["value"]
+            / (BATCH * MAX_OUT))
     if extra.get("transformer_train_tokens_per_sec"):
         mfu["transformer_train"] = _mfu_entry(
             flops["transformer_train_step"],
-            extra["transformer_train_tokens_per_sec"]
+            extra["transformer_train_tokens_per_sec"]["value"]
             / (BATCH * MAX_OUT))
     mfu["measured_ceiling_tflops"] = round(ceiling / 1e12, 2)
     extra["mfu"] = mfu
 
     line = {
         "metric": "beam10_decoded_sentences_per_sec_per_chip",
-        "value": round(tpu_rate, 2),
+        "value": tpu_rate,
+        "spread": tpu_stats,
         "unit": "sentences/sec/chip",
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
     }

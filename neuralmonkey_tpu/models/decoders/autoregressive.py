@@ -253,7 +253,12 @@ class AutoregressiveDecoder(ModelPart):
         # stage-2 HBM relayout; measured on v5e the relayout only
         # dominates once the logits matrix is large (beam 20 at
         # batch 64: 1143 vs 970 sent/s 3-D; beam 10: 1842 vs 2100 —
-        # XLA fuses the small-matrix gather). Crossover ~100 MB.
+        # XLA fuses the small-matrix gather). Crossover ~100 MB,
+        # calibrated at the v5e bench shapes (beam 10/20, batch 64);
+        # other shapes may land on the slower layout. NOTE: this
+        # branch runs at TRACE time — NM_LOGITS3D only takes effect
+        # before the first trace of a given decode shape (the choice
+        # is frozen into the cached jit program per shape).
         mode = os.environ.get("NM_LOGITS3D", "auto")
         if mode == "auto":
             want_3d = n * vp * 4 >= 100_000_000

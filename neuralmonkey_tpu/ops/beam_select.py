@@ -25,7 +25,7 @@ identically on either path.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
@@ -387,6 +387,38 @@ def _fused_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     return logits, rowmax[:, :r], lse[:, 0]
 
 
+@lru_cache(maxsize=64)
+def _fused_compiles(n: int, d: int, vp: int, tiling, logits_3d: bool
+                    ) -> bool:
+    """AOT probe: does the fused kernel actually COMPILE at this exact
+    per-device shape? `_fused_tiling`'s VMEM model is empirically
+    calibrated, not conservative — a shape it accepts can still exceed
+    Mosaic's scoped-VMEM budget, which on the relay backend surfaces
+    as an instant HTTP 500 at decode time with no way to recover
+    inside the trace. Compiling the kernel standalone (abstract
+    operands, no data) catches that per shape, once, for ~1 s; on
+    failure the dispatch below takes the pure-JAX reference instead.
+    Interpret mode (CPU tests) never hits Mosaic and always passes."""
+    if pallas_interpret():
+        return True
+    try:
+        fn = jax.jit(partial(_fused_pallas, tiling=tiling,
+                             logits_3d=logits_3d))
+        fn.lower(
+            jax.ShapeDtypeStruct((n, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, vp), jnp.float32),
+            jax.ShapeDtypeStruct((1, vp), jnp.float32),
+        ).compile()
+        return True
+    except Exception as exc:  # noqa: BLE001 — any Mosaic/XLA failure
+        from ..logging import warn
+        warn(f"fused logit kernel does not compile at shape "
+             f"N={n} D={d} Vp={vp} (tiling {tiling}, "
+             f"3d={logits_3d}): {type(exc).__name__}: "
+             f"{str(exc)[:160]}; using the pure-JAX path")
+        return False
+
+
 def fused_logits_rowmax_lse(
         x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         force_pallas: bool = None, logits_3d: bool = False
@@ -443,6 +475,8 @@ def fused_logits_rowmax_lse(
         if tiling is None or (n // dp) % SUBLANES:
             return _reference()
         kern_3d = logits_3d and tiling[2] % SUBLANES == 0
+        if not _fused_compiles(n // dp, d, vp, tiling, kern_3d):
+            return _reference()
         from jax.sharding import PartitionSpec as P
         logits_out = (P("data", None, None) if kern_3d
                       else P("data", None))
@@ -460,6 +494,8 @@ def fused_logits_rowmax_lse(
     if tiling is None:
         return _reference()
     kern_3d = logits_3d and tiling[2] % SUBLANES == 0
+    if not _fused_compiles(n, d, vp, tiling, kern_3d):
+        return _reference()
     logits, rowmax, lse = _fused_pallas(x, w, b, tiling,
                                         logits_3d=kern_3d)
     if logits_3d and not kern_3d:

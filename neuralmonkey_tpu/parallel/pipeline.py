@@ -180,10 +180,13 @@ def gpipe_apply(layer_fn: Callable,
                 # fill/drain ticks re-run a clipped microbatch; their
                 # stats must not count twice (the outputs are masked
                 # downstream anyway, the sums would not be)
-                valid = ((t - stage >= 0)
-                         & (t - stage < n_micro)).astype(jnp.float32)
+                # select, don't multiply: a garbage tick can produce
+                # inf/NaN stats leaves, and 0*inf = NaN would poison
+                # the accumulated sums
+                valid = (t - stage >= 0) & (t - stage < n_micro)
                 masked = jax.tree_util.tree_map(
-                    lambda s: s * valid, stats)
+                    lambda s: jnp.where(valid, s, jnp.zeros_like(s)),
+                    stats)
                 stats_acc = (masked if stats_acc is None
                              else jax.tree_util.tree_map(
                                  jnp.add, stats_acc, masked))

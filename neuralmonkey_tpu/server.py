@@ -20,10 +20,13 @@ requests are therefore coalesced: a request enqueues and a single
 worker drains the queue, waiting up to ``batch_window_ms`` after the
 first pending request for stragglers, merges all compatible payloads
 (same series-name set) into ONE dataset, runs the model once, and
-splits the outputs back per request. Results are byte-identical to
-per-request runs because inference iterates datasets in order and
-batch padding is semantically inert (masks). ``batch_window_ms=0``
-still coalesces whatever is already queued — it only skips the wait.
+splits the outputs back per request. Inference iterates datasets in
+order and batch padding is semantically inert (masks), so merged
+results match per-request runs — byte-identically on CPU (tested);
+on TPU, logit reassociation noise (~6e-4, BASELINE.md) can in rare
+cases flip a near-tie beam decision when the batch composition
+changes. ``batch_window_ms=0`` still coalesces whatever is already
+queued — it only skips the wait.
 
 Usage: python -m neuralmonkey_tpu.server --configuration exp.ini
            [--port 5000] [--batch-window-ms 10] [--max-batch 256]
@@ -169,27 +172,49 @@ class ModelService:
             self.stats["max_merged_rows"],
             sum(p.rows for p in group))
         try:
-            dataset = from_dict(merged, name="request")
-            _, outputs = self.experiment.run_model(dataset)
-            clean = {
-                name: [item if isinstance(item,
-                                          (list, str, float, int))
-                       else getattr(item, "tolist",
-                                    lambda: str(item))()
-                       for item in data]
-                for name, data in outputs.items()}
-            offset = 0
-            for pending in group:
-                pending.outputs = {
-                    name: data[offset:offset + pending.rows]
-                    for name, data in clean.items()}
-                offset += pending.rows
+            self._run_split(merged, group)
         except Exception as exc:  # pylint: disable=broad-except
-            for pending in group:
-                pending.error = exc
+            if len(group) == 1:
+                group[0].error = exc
+            else:
+                # one bad request must not fail the whole merged
+                # group — rerun each request individually so only the
+                # offender sees the error
+                for pending in group:
+                    try:
+                        self._run_split(pending.series, [pending])
+                    except Exception as solo:  # pylint: disable=broad-except
+                        pending.error = solo
         finally:
             for pending in group:
                 pending.event.set()
+
+    def _run_split(self, merged: Dict[str, List],
+                   group: List[_PendingRequest]) -> None:
+        """One model call over ``merged``; split each output series
+        back per request by row count."""
+        total_rows = sum(p.rows for p in group)
+        dataset = from_dict(merged, name="request")
+        _, outputs = self.experiment.run_model(dataset)
+        clean = {}
+        for name, data in outputs.items():
+            if len(data) != total_rows:
+                # a runner output that is not one-item-per-sentence
+                # cannot be split across coalesced requests
+                raise RuntimeError(
+                    f"output series '{name}' has {len(data)} items "
+                    f"for {total_rows} input sentences; cannot split "
+                    "a merged batch")
+            clean[name] = [
+                item if isinstance(item, (list, str, float, int))
+                else getattr(item, "tolist", lambda: str(item))()
+                for item in data]
+        offset = 0
+        for pending in group:
+            pending.outputs = {
+                name: data[offset:offset + pending.rows]
+                for name, data in clean.items()}
+            offset += pending.rows
 
 
 def make_handler(service: ModelService):
