@@ -341,6 +341,45 @@ def verify_kernels_on_device() -> None:
             "of grad scale on the real lowering")
     print("kernel check: flash_attention fwd+bwd OK", file=sys.stderr)
 
+    # in-kernel attention dropout: the hash-based keep mask must be
+    # BIT-identical between the kernel and the dense twin on the real
+    # lowering (uniform-weights probe: k=0 makes every score exactly
+    # 0, exp exact, so any diff can only come from a flipped keep bit
+    # — one flip would show as ~|v|/(kp·T) ≈ 8e-3)
+    from neuralmonkey_tpu.ops.pallas_attention import rng_to_key_words
+    dkey = rng_to_key_words(jax.random.PRNGKey(5))
+    kzero = jnp.zeros_like(fk)
+    # full mask for the bit-identity probe: ragged rows carry a known
+    # ~5e-4 masked-position transcendental artifact even WITHOUT
+    # dropout (exp(-1e9) on Mosaic), which would drown the signal
+    fm_full = jnp.ones_like(fm)
+    d_out = jax.jit(lambda v: flash_attention(
+        fq, kzero, v, fm_full, False, 128, 128, dkey, 0.8))(fv)
+    d_ref = jax.jit(lambda v: _reference_flash(
+        fq, kzero, v, fm_full, False, dkey, 0.8))(fv)
+    bitdev = float(np.max(np.abs(np.asarray(d_out) - np.asarray(d_ref))))
+    assert bitdev < 1e-5, (
+        f"flash dropout keep mask differs on device (max {bitdev})")
+    # dropout grads through the Pallas backward kernels
+    env_bwd = os.environ.get("NM_FLASH_BWD")
+    os.environ["NM_FLASH_BWD"] = "1"
+    try:
+        dg_pal = jax.jit(jax.grad(lambda a: jnp.sum(flash_attention(
+            a, fk, fv, fm, False, 128, 128, dkey, 0.8) * fcot)))(fq)
+        dg_ref = jax.jit(jax.grad(lambda a: jnp.sum(_reference_flash(
+            a, fk, fv, fm, False, dkey, 0.8) * fcot)))(fq)
+    finally:
+        if env_bwd is None:
+            del os.environ["NM_FLASH_BWD"]
+        else:
+            os.environ["NM_FLASH_BWD"] = env_bwd
+    a, b = np.asarray(dg_pal), np.asarray(dg_ref)
+    scale = max(float(np.max(np.abs(b))), 1e-6)
+    assert float(np.max(np.abs(a - b))) / scale < 3e-2, \
+        "flash dropout backward deviates on the real lowering"
+    print("kernel check: flash_attention in-kernel dropout OK",
+          file=sys.stderr)
+
 
 def _spread(run_window, n: int = None, digits: int = 2) -> dict:
     """Median/min/max over ``n`` in-process repeats of one timing

@@ -152,9 +152,12 @@ def multi_head_attention(params: Dict,
     """Full MHA: project, attend, merge, output-project.
 
     When the masking is expressible as ``key_mask`` (+ ``causal``)
-    rather than an arbitrary ``bias``, and attention dropout is off,
-    the fused Pallas flash-attention kernel is used on TPU — the score
-    matrix never hits HBM.
+    rather than an arbitrary ``bias``, the fused Pallas flash-attention
+    kernel is used on TPU — the score matrix never hits HBM. Attention
+    dropout no longer forces the dense path: the kernel draws
+    counter-based keep bits in-VMEM (pallas_attention._keep_hash;
+    NM_FLASH_DROPOUT=0 opts out), so training configs with
+    ``dropout_keep_prob < 1`` keep the O(T²)-memory win.
     """
     q = split_heads(nn.linear(params["q"], queries), n_heads)
     k = split_heads(nn.linear(params["k"], keys), n_heads)
@@ -162,7 +165,7 @@ def multi_head_attention(params: Dict,
     from ..parallel.ring_attention import (ring_attention,
                                            ring_dropout_eligible,
                                            ring_eligible)
-    from .kernel_config import use_pallas
+    from .kernel_config import flash_dropout_enabled, use_pallas
     ring_ok = (key_mask is not None and bias is None
                and ring_eligible(q.shape[2], k.shape[2]))
     if ring_ok and dropout_rng is not None \
@@ -188,18 +191,31 @@ def multi_head_attention(params: Dict,
         out = ring_attention(q, k, v, key_mask, causal,
                              dropout_rng=dropout_rng,
                              dropout_keep_prob=dropout_keep_prob)
-    elif key_mask is not None and dropout_rng is None and use_pallas():
+    elif key_mask is not None and use_pallas() \
+            and (dropout_rng is None or flash_dropout_enabled()):
         from .kernel_config import spmd_wrap_mesh
         from .pallas_attention import (flash_attention,
                                        flash_attention_sharded,
-                                       flash_sharded_ok)
+                                       flash_sharded_ok,
+                                       rng_to_key_words)
+        # attention dropout rides INSIDE the kernel via counter-based
+        # keep bits (pallas_attention._keep_hash) — the O(T²) mask
+        # never hits HBM, so training configs with attention dropout
+        # keep the flash memory win (VERDICT r3 item 4)
+        dk_key = None
+        kp = 1.0
+        if dropout_rng is not None and dropout_keep_prob < 1.0:
+            dk_key = rng_to_key_words(dropout_rng)
+            kp = dropout_keep_prob
         if spmd_wrap_mesh() is None:
-            out = flash_attention(q, k, v, key_mask, causal)
+            out = flash_attention(q, k, v, key_mask, causal,
+                                  128, 128, dk_key, kp)
         elif flash_sharded_ok(q):
             # multi-device data(/model) mesh: the kernel runs per
             # shard inside a fully-manual shard_map — single-chip
             # kernel perf survives scale-out (kernel_config.note_mesh)
-            out = flash_attention_sharded(q, k, v, key_mask, causal)
+            out = flash_attention_sharded(q, k, v, key_mask, causal,
+                                          dk_key, kp)
         # else: batch/heads don't divide the mesh — dense path below
     if out is None:
         if bias is None and key_mask is not None:

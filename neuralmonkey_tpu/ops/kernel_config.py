@@ -138,6 +138,16 @@ def use_fused_logits() -> bool:
     return use_pallas()
 
 
+def flash_dropout_enabled() -> bool:
+    """Whether the flash-attention kernel may carry attention dropout
+    via its in-kernel counter-based keep bits (default on; dropout
+    bits then come from ops/pallas_attention._keep_hash rather than
+    jax.random.bernoulli — same distribution, different stream).
+    NM_FLASH_DROPOUT=0 forces such call sites onto the dense path."""
+    return os.environ.get("NM_FLASH_DROPOUT") \
+        not in ("0", "false", "False")
+
+
 def use_pallas_train() -> bool:
     """Whether training paths may use Pallas kernels (the fused GRU
     scan now has a hand-written BPTT kernel, so this is sound; default

@@ -28,13 +28,73 @@ from .kernel_config import pallas_interpret
 
 NEG_INF = -1e9
 
+# dropout keep-bit threshold uses the hash's low 23 bits
+_KEEP_BITS = 23
+# numpy scalars, NOT jnp: jax array constants would be captured by the
+# Pallas kernel closure, which pallas_call rejects
+import numpy as np  # noqa: E402
+
+_MIX1 = np.int32(0x85EBCA6B - (1 << 32))  # murmur3 fmix32 constants
+_MIX2 = np.int32(0xC2B2AE35 - (1 << 32))
+_GOLD = np.int32(0x9E3779B9 - (1 << 32))  # bh-word mixing
+
+
+def _fmix32(h):
+    """murmur3 finalizer on int32 with wrapping arithmetic. Pure
+    jnp/lax ops only, so the SAME function runs inside the Pallas
+    kernels and in the dense reference twin — keep masks are
+    bit-identical between the two paths by construction."""
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    h = h * _MIX1
+    h = h ^ jax.lax.shift_right_logical(h, 13)
+    h = h * _MIX2
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    return h
+
+
+def _keep_hash(k0, k1, bh, pos):
+    """Counter-based keep bits for attention-dropout: the value
+    depends only on the rng key words and the GLOBAL (batch·head,
+    q·kv_span + k) position, so any tile computing a given score —
+    forward block, dq block, dkv block — draws the same bits (the
+    ring's per-block trick, parallel/ring_attention._block_keep,
+    applied inside the kernel)."""
+    h = _fmix32(pos ^ k0)
+    return _fmix32(h ^ (bh * _GOLD) ^ k1)
+
+
+def _keep_thresh(keep_prob: float) -> np.int32:
+    return np.int32(int(round(keep_prob * (1 << _KEEP_BITS))))
+
+
+def rng_to_key_words(rng: jnp.ndarray) -> jnp.ndarray:
+    """(2,) int32 key words from a jax PRNG key (raw uint32 pairs and
+    typed keys both accepted) — the form the kernels consume."""
+    arr = jnp.asarray(rng)
+    if jnp.issubdtype(arr.dtype, jax.dtypes.prng_key):
+        arr = jax.random.key_data(arr)
+    arr = arr.reshape(-1).astype(jnp.uint32)
+    if arr.size < 2:
+        arr = jnp.concatenate([arr, arr])
+    return jax.lax.bitcast_convert_type(arr[:2], jnp.int32)
+
 
 # ---------------------------------------------------------------------- #
 # flash attention (forward)
 # ---------------------------------------------------------------------- #
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, *refs,
                   kv_len: int, block_kv: int, scale: float,
-                  causal: bool):
+                  causal: bool, keep_prob: float = 1.0,
+                  kv_span: int = 0):
+    dropout = keep_prob < 1.0
+    if dropout:
+        key_ref, o_ref, lse_ref = refs
+        k0 = key_ref[0]
+        k1 = key_ref[1]
+        thresh = _keep_thresh(keep_prob)
+        bh_idx = pl.program_id(0)
+    else:
+        o_ref, lse_ref = refs
     # blocks carry a leading (batch·head) dim of size 1
     block_q = q_ref.shape[1]
     head_dim = q_ref.shape[2]
@@ -75,10 +135,22 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
                               jnp.max(scores, axis=1, keepdims=True))
         correction = jnp.exp(row_max - new_max)
         p = jnp.exp(scores - new_max)
+        # dense dropout semantics: applied AFTER softmax, so the
+        # normalizer accumulates the UNdropped mass while the context
+        # accumulates the dropped probabilities
         new_sum = row_sum * correction + jnp.sum(p, axis=1,
                                                  keepdims=True)
+        pv = p
+        if dropout:
+            q_pos = (q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0))
+            k_pos = (kv_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1))
+            bits = _keep_hash(k0, k1, bh_idx, q_pos * kv_span + k_pos)
+            keep = (bits & np.int32((1 << _KEEP_BITS) - 1)) < thresh
+            pv = jnp.where(keep, p, 0.0) * (1.0 / keep_prob)
         new_acc = acc * correction + jnp.dot(
-            p, v_blk, preferred_element_type=jnp.float32)
+            pv, v_blk, preferred_element_type=jnp.float32)
         return new_acc, new_max, new_sum
 
     if causal:
@@ -106,17 +178,57 @@ def _head_pad(head_dim: int) -> int:
     return (-head_dim) % 128
 
 
-def _reference_flash(q, k, v, mask, causal: bool):
+def _reference_flash(q, k, v, mask, causal: bool,
+                     dropout_key=None, keep_prob: float = 1.0):
+    """Dense reference. With ``dropout_key`` it applies the kernels'
+    hash-based keep mask (same ``_keep_hash`` sites, same global
+    counters) so kernel-vs-reference agreement holds bit-for-bit on
+    the mask — this twin is also what the XLA-remat backward
+    differentiates through, so forward and backward see one mask."""
     from .attention import (attention_bias_from_mask, causal_bias,
                             dot_product_attention)
     bias = attention_bias_from_mask(mask)
     if causal:
         bias = bias + causal_bias(k.shape[2])[:, :, :q.shape[2], :]
-    return dot_product_attention(q, k, v, bias)
+    if dropout_key is None or keep_prob >= 1.0:
+        return dot_product_attention(q, k, v, bias)
+    import math as _math
+    batch, heads, q_len, head_dim = q.shape
+    kv_len = k.shape[2]
+    scale = 1.0 / _math.sqrt(head_dim)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(k.dtype), k,
+                        preferred_element_type=jnp.float32) * scale
+    scores = scores + bias
+    weights = jax.nn.softmax(scores, axis=-1)
+    keep = _keep_mask_dense(dropout_key, batch, heads, q_len, kv_len,
+                            keep_prob)
+    weights = jnp.where(keep, weights, 0.0) * (1.0 / keep_prob)
+    context = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype),
+                         v, preferred_element_type=jnp.float32)
+    return context.astype(v.dtype)
+
+
+def _keep_mask_dense(dropout_key, batch: int, heads: int, q_len: int,
+                     kv_len: int, keep_prob: float) -> jnp.ndarray:
+    """The kernels' keep mask materialized densely (reference twin +
+    remat backward): (B, H, Tq, Tk) bool. ``kv_span`` in the counters
+    is the UNPADDED kv length — the kernels use the same constant, so
+    padding/tiling never changes which bits a valid position draws."""
+    k0 = dropout_key[0]
+    k1 = dropout_key[1]
+    bh = jnp.arange(batch * heads, dtype=jnp.int32).reshape(
+        batch, heads, 1, 1)
+    pos = (jnp.arange(q_len, dtype=jnp.int32)[:, None] * kv_len
+           + jnp.arange(kv_len, dtype=jnp.int32)[None, :])
+    bits = _keep_hash(k0, k1, bh, pos[None, None])
+    return (bits & np.int32((1 << _KEEP_BITS) - 1)) \
+        < _keep_thresh(keep_prob)
 
 
 def _flash_attention_pallas(q, k, v, mask, causal: bool,
-                            block_q: int, block_kv: int) -> jnp.ndarray:
+                            block_q: int, block_kv: int,
+                            dropout_key=None,
+                            keep_prob: float = 1.0) -> jnp.ndarray:
     batch, heads, q_len, head_dim = q.shape
     kv_len = k.shape[2]
     scale = 1.0 / (head_dim ** 0.5)
@@ -161,9 +273,27 @@ def _flash_attention_pallas(q, k, v, mask, causal: bool,
     mask_rep = jnp.broadcast_to(mask_rep[:, None, :],
                                 (bh, 8, kv_pad_len))
 
+    dropout = dropout_key is not None and keep_prob < 1.0
     kernel = functools.partial(
         _flash_kernel, kv_len=kv_pad_len, block_kv=block_kv,
-        scale=scale, causal=causal)
+        scale=scale, causal=causal,
+        keep_prob=keep_prob if dropout else 1.0,
+        kv_span=kv_len if dropout else 0)
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, head_dim),
+                     lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, kv_pad_len, head_dim),
+                     lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, kv_pad_len, head_dim),
+                     lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, 8, kv_pad_len), lambda b, i: (b, 0, 0)),
+    ]
+    operands = [q_flat, k_flat, v_flat, mask_rep]
+    if dropout:
+        from jax.experimental.pallas import tpu as pltpu
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(dropout_key.astype(jnp.int32))
 
     out, lse = pl.pallas_call(
         kernel,
@@ -172,22 +302,14 @@ def _flash_attention_pallas(q, k, v, mask, causal: bool,
             jax.ShapeDtypeStruct((bh, q_pad_len, 1), jnp.float32),
         ),
         grid=(bh, q_pad_len // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, head_dim),
-                         lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, kv_pad_len, head_dim),
-                         lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, kv_pad_len, head_dim),
-                         lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, 8, kv_pad_len), lambda b, i: (b, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, block_q, head_dim),
                          lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
         ),
         interpret=pallas_interpret(),
-    )(q_flat, k_flat, v_flat, mask_rep)
+    )(*operands)
 
     out = out.reshape(batch, heads, q_pad_len, head_dim)
     lse = lse.reshape(batch, heads, q_pad_len)
@@ -210,9 +332,19 @@ def _flash_attention_pallas(q, k, v, mask, causal: bool,
 # column layout; every transpose is fused into a dot.
 # ---------------------------------------------------------------------- #
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
-                         lse_ref, dcap_ref, dq_ref, *,
+                         lse_ref, dcap_ref, *refs,
                          kv_len: int, block_kv: int, scale: float,
-                         causal: bool):
+                         causal: bool, keep_prob: float = 1.0,
+                         kv_span: int = 0):
+    dropout = keep_prob < 1.0
+    if dropout:
+        key_ref, dq_ref = refs
+        k0 = key_ref[0]
+        k1 = key_ref[1]
+        thresh = _keep_thresh(keep_prob)
+        bh_idx = pl.program_id(0)
+    else:
+        (dq_ref,) = refs
     block_q = q_ref.shape[1]
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
@@ -241,6 +373,17 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
         p = jnp.exp(s - lse)                          # normalized
         dp = jnp.dot(do, v_blk.T,
                      preferred_element_type=jnp.float32)
+        if dropout:
+            # dropped context: dW = (g·Vᵀ) ⊙ keep / kp; the softmax
+            # backward's row term still equals D = rowsum(g ⊙ O)
+            # because O itself was accumulated from the dropped P
+            q_pos = (q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0))
+            k_pos = (kv_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1))
+            bits = _keep_hash(k0, k1, bh_idx, q_pos * kv_span + k_pos)
+            keep = (bits & np.int32((1 << _KEEP_BITS) - 1)) < thresh
+            dp = jnp.where(keep, dp, 0.0) * (1.0 / keep_prob)
         ds = p * (dp - dcap)
         return acc + jnp.dot(ds, k_blk,
                              preferred_element_type=jnp.float32)
@@ -255,9 +398,19 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
 
 
 def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
-                          lse_ref, dcap_ref, dk_ref, dv_ref, *,
+                          lse_ref, dcap_ref, *refs,
                           q_len: int, block_q: int, scale: float,
-                          causal: bool):
+                          causal: bool, keep_prob: float = 1.0,
+                          kv_span: int = 0):
+    dropout = keep_prob < 1.0
+    if dropout:
+        key_ref, dk_ref, dv_ref = refs
+        k0 = key_ref[0]
+        k1 = key_ref[1]
+        thresh = _keep_thresh(keep_prob)
+        bh_idx = pl.program_id(0)
+    else:
+        dk_ref, dv_ref = refs
     block_kv = k_ref.shape[1]
     k_blk = k_ref[0].astype(jnp.float32)
     v_blk = v_ref[0].astype(jnp.float32)
@@ -287,10 +440,22 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
                 jnp.int32, (block_q, block_kv), 1))
             s = jnp.where(q_pos >= k_pos, s, NEG_INF)
         p = jnp.exp(s - lse_blk)
-        dv = dv + jnp.dot(p.T, do_blk,
-                          preferred_element_type=jnp.float32)
+        pd = p
         dp = jnp.dot(do_blk, v_blk.T,
                      preferred_element_type=jnp.float32)
+        if dropout:
+            q_pos = (q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0))
+            k_pos = (kv_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1))
+            bits = _keep_hash(k0, k1, bh_idx, q_pos * kv_span + k_pos)
+            keep = (bits & np.int32((1 << _KEEP_BITS) - 1)) < thresh
+            # dV sees the DROPPED probabilities; dP is masked the
+            # same way (the forward's O = Σ (p·keep/kp)·v)
+            pd = jnp.where(keep, p, 0.0) * (1.0 / keep_prob)
+            dp = jnp.where(keep, dp, 0.0) * (1.0 / keep_prob)
+        dv = dv + jnp.dot(pd.T, do_blk,
+                          preferred_element_type=jnp.float32)
         ds = p * (dp - dcap_blk)
         dk = dk + jnp.dot(ds.T, q_blk,
                           preferred_element_type=jnp.float32)
@@ -305,7 +470,8 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_backward_pallas(q, k, v, mask, out, lse, g, causal: bool):
+def _flash_backward_pallas(q, k, v, mask, out, lse, g, causal: bool,
+                           dropout_key=None, keep_prob: float = 1.0):
     """dq, dk, dv via the blockwise kernels. Blocks are fixed at
     128×128: backward slices the LANE-adjacent stats arrays with
     ``pl.ds`` at q-block offsets, which must stay 128-aligned (Mosaic);
@@ -313,6 +479,9 @@ def _flash_backward_pallas(q, k, v, mask, out, lse, g, causal: bool):
     batch, heads, q_len, head_dim = q.shape
     kv_len = k.shape[2]
     scale = 1.0 / (head_dim ** 0.5)
+    dropout = dropout_key is not None and keep_prob < 1.0
+    drop_kw = dict(keep_prob=keep_prob if dropout else 1.0,
+                   kv_span=kv_len if dropout else 0)
     block = 128 if not pallas_interpret() else max(
         8, min(128, q_len), min(128, kv_len))
 
@@ -352,48 +521,63 @@ def _flash_backward_pallas(q, k, v, mask, out, lse, g, causal: bool):
     mask_rep = jnp.broadcast_to(mask_rep[:, None, :], (bh, 8, kp))
 
     common_specs = dict(interpret=pallas_interpret())
+    dq_in_specs = [
+        pl.BlockSpec((1, block, head_dim), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, kp, head_dim), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, kp, head_dim), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, 8, kp), lambda b, i: (b, 0, 0)),
+        pl.BlockSpec((1, block, head_dim), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, block, 1), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, block, 1), lambda b, i: (b, i, 0)),
+    ]
+    dq_operands = [q_flat, k_flat, v_flat, mask_rep, g_flat,
+                   lse_flat, dcap]
+    dkv_in_specs = [
+        pl.BlockSpec((1, qp, head_dim), lambda b, j: (b, 0, 0)),
+        pl.BlockSpec((1, block, head_dim), lambda b, j: (b, j, 0)),
+        pl.BlockSpec((1, block, head_dim), lambda b, j: (b, j, 0)),
+        pl.BlockSpec((1, 8, block), lambda b, j: (b, 0, j)),
+        pl.BlockSpec((1, qp, head_dim), lambda b, j: (b, 0, 0)),
+        pl.BlockSpec((1, qp, 1), lambda b, j: (b, 0, 0)),
+        pl.BlockSpec((1, qp, 1), lambda b, j: (b, 0, 0)),
+    ]
+    dkv_operands = list(dq_operands)
+    if dropout:
+        from jax.experimental.pallas import tpu as pltpu
+        key_i32 = dropout_key.astype(jnp.int32)
+        for specs, ops in ((dq_in_specs, dq_operands),
+                           (dkv_in_specs, dkv_operands)):
+            specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            ops.append(key_i32)
+
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, kv_len=kp,
-                          block_kv=block, scale=scale, causal=causal),
+                          block_kv=block, scale=scale, causal=causal,
+                          **drop_kw),
         out_shape=jax.ShapeDtypeStruct((bh, qp, head_dim), q.dtype),
         grid=(bh, qp // block),
-        in_specs=[
-            pl.BlockSpec((1, block, head_dim), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, kp, head_dim), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, kp, head_dim), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, 8, kp), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, block, head_dim), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block, 1), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block, 1), lambda b, i: (b, i, 0)),
-        ],
+        in_specs=dq_in_specs,
         out_specs=pl.BlockSpec((1, block, head_dim),
                                lambda b, i: (b, i, 0)),
         **common_specs,
-    )(q_flat, k_flat, v_flat, mask_rep, g_flat, lse_flat, dcap)
+    )(*dq_operands)
 
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, q_len=qp,
-                          block_q=block, scale=scale, causal=causal),
+                          block_q=block, scale=scale, causal=causal,
+                          **drop_kw),
         out_shape=(
             jax.ShapeDtypeStruct((bh, kp, head_dim), k.dtype),
             jax.ShapeDtypeStruct((bh, kp, head_dim), v.dtype),
         ),
         grid=(bh, kp // block),
-        in_specs=[
-            pl.BlockSpec((1, qp, head_dim), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, block, head_dim), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, block, head_dim), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, 8, block), lambda b, j: (b, 0, j)),
-            pl.BlockSpec((1, qp, head_dim), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, qp, 1), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, qp, 1), lambda b, j: (b, 0, 0)),
-        ],
+        in_specs=dkv_in_specs,
         out_specs=(
             pl.BlockSpec((1, block, head_dim), lambda b, j: (b, j, 0)),
             pl.BlockSpec((1, block, head_dim), lambda b, j: (b, j, 0)),
         ),
         **common_specs,
-    )(q_flat, k_flat, v_flat, mask_rep, g_flat, lse_flat, dcap)
+    )(*dkv_operands)
 
     dq = dq.reshape(batch, heads, qp, head_dim)[:, :, :q_len]
     dk = dk.reshape(batch, heads, kp, head_dim)[:, :, :kv_len]
@@ -405,9 +589,10 @@ def _flash_backward_pallas(q, k, v, mask, out, lse, g, causal: bool):
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 8))
 def flash_attention(q, k, v, mask, causal: bool = False,
-                    block_q: int = 128, block_kv: int = 128):
+                    block_q: int = 128, block_kv: int = 128,
+                    dropout_key=None, keep_prob: float = 1.0):
     """(B, H, Tq, D) × (B, H, Tk, D) → (B, H, Tq, D).
 
     ``mask``: (B, Tk) float key-validity mask. Equivalent to
@@ -417,20 +602,31 @@ def flash_attention(q, k, v, mask, causal: bool = False,
     (the measured-faster path on v5e at T<=512), the hand-written
     dq/dkv Pallas kernels above it (no O(T²) HBM in either direction);
     NM_FLASH_BWD=1/0 forces the choice.
-    """
+
+    ``dropout_key`` ((2,) int32 from :func:`rng_to_key_words`) +
+    ``keep_prob`` < 1 enable ATTENTION DROPOUT INSIDE THE KERNEL:
+    keep bits are drawn counter-based per (batch·head, q, k) position
+    (``_keep_hash``), so the O(T²) mask never materializes in HBM and
+    forward/backward/reference all agree bit-for-bit on which weights
+    drop (VERDICT r3 item 4 — dropout no longer forces the dense
+    path). Reference: nm/attention/scaled_dot_product.py keeps
+    dropout inside attention."""
     # the kernel's masking path is f32-only (bf16 masks arrive under
     # the compute-precision policy and buy nothing)
     mask = mask.astype(jnp.float32)
     out, _ = _flash_attention_pallas(q, k, v, mask, causal,
-                                     block_q, block_kv)
+                                     block_q, block_kv,
+                                     dropout_key, keep_prob)
     return out
 
 
-def _flash_fwd(q, k, v, mask, causal, block_q, block_kv):
+def _flash_fwd(q, k, v, mask, causal, block_q, block_kv,
+               dropout_key, keep_prob):
     mask = mask.astype(jnp.float32)
     out, lse = _flash_attention_pallas(q, k, v, mask, causal,
-                                       block_q, block_kv)
-    return out, (q, k, v, mask, out, lse)
+                                       block_q, block_kv,
+                                       dropout_key, keep_prob)
+    return out, (q, k, v, mask, dropout_key, out, lse)
 
 
 # Above this much O(T²) score-matrix memory the XLA rematerialized
@@ -452,21 +648,26 @@ def _use_pallas_bwd(q, k) -> bool:
     return scores_bytes >= _PALLAS_BWD_BYTES_THRESHOLD
 
 
-def _flash_bwd(causal, block_q, block_kv, residuals, g):
-    q, k, v, mask, out, lse = residuals
+def _flash_bwd(causal, block_q, block_kv, keep_prob, residuals, g):
+    q, k, v, mask, dropout_key, out, lse = residuals
+    import numpy as _np
+    key_ct = (None if dropout_key is None
+              else _np.zeros(dropout_key.shape, jax.dtypes.float0))
     from .kernel_config import use_pallas_train
     if (pallas_interpret()
             or (use_pallas_train() and _use_pallas_bwd(q, k))):
         dq, dk, dv = _flash_backward_pallas(
-            q, k, v, mask, out, lse, g, causal)
-        return dq, dk, dv, jnp.zeros_like(mask)
+            q, k, v, mask, out, lse, g, causal, dropout_key, keep_prob)
+        return dq, dk, dv, jnp.zeros_like(mask), key_ct
     # the measured-faster path at short/medium T: XLA
     # rematerialization through the pure-JAX reference (materializes
-    # the score matrix — fine until _PALLAS_BWD_BYTES_THRESHOLD)
+    # the score matrix — fine until _PALLAS_BWD_BYTES_THRESHOLD); the
+    # reference twin replays the SAME hash-based keep mask
     _, vjp = jax.vjp(
-        lambda q_, k_, v_, m_: _reference_flash(q_, k_, v_, m_, causal),
+        lambda q_, k_, v_, m_: _reference_flash(
+            q_, k_, v_, m_, causal, dropout_key, keep_prob),
         q, k, v, mask)
-    return vjp(g)
+    return vjp(g) + (key_ct,)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
@@ -484,28 +685,51 @@ def flash_sharded_ok(q: jnp.ndarray) -> bool:
             and q.shape[1] % mesh.shape.get("model", 1) == 0)
 
 
-def flash_attention_sharded(q, k, v, mask, causal: bool = False):
+def flash_attention_sharded(q, k, v, mask, causal: bool = False,
+                            dropout_key=None, keep_prob: float = 1.0):
     """Flash attention on a multi-device ('data'[, 'model']) mesh:
     fully-manual shard_map, batch split over 'data' and heads over
     'model' (the kernel is per-head, so head-manual is exact). The
     per-shard body is the single-chip kernel + its VJP, so gradients
     ride through unchanged. Caller checked :func:`flash_sharded_ok`.
-    """
+
+    With dropout, each shard folds its mesh position into the key
+    words — the in-kernel hash counters are LOCAL (batch·head, pos),
+    so without the fold every data shard would redraw the same mask
+    (the flaw the ring's global-chunk counters avoid)."""
     import jax
     from jax.sharding import PartitionSpec as P
     from .kernel_config import spmd_wrap_mesh
     mesh = spmd_wrap_mesh()
     hm = "model" if mesh.shape.get("model", 1) > 1 else None
     qspec = P("data", hm, None, None)
+    dropout = dropout_key is not None and keep_prob < 1.0
 
-    def body(q_, k_, v_, m_):
-        return flash_attention(q_, k_, v_, m_, causal)
+    def body(q_, k_, v_, m_, key_f32):
+        if dropout:
+            # key rides as f32 bits (int operands make the shard_map
+            # transpose produce float0 leaves some jax versions
+            # reject); lax.stop_gradient keeps it out of the tangent
+            key_ = jax.lax.bitcast_convert_type(
+                jax.lax.stop_gradient(key_f32), jnp.int32)
+            ix = jax.lax.axis_index("data")
+            if hm is not None:
+                ix = (ix * mesh.shape["model"]
+                      + jax.lax.axis_index("model"))
+            key_ = jnp.stack([key_[0] ^ (ix * _GOLD), key_[1]])
+        else:
+            key_ = None
+        return flash_attention(q_, k_, v_, m_, causal, 128, 128,
+                               key_, keep_prob)
 
+    key_arg = jax.lax.bitcast_convert_type(
+        dropout_key.astype(jnp.int32) if dropout
+        else jnp.zeros((2,), jnp.int32), jnp.float32)
     wrapped = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(qspec, qspec, qspec, P("data", None)),
+        in_specs=(qspec, qspec, qspec, P("data", None), P(None)),
         out_specs=qspec, check_vma=False)
-    return wrapped(q, k, v, mask)
+    return wrapped(q, k, v, mask, key_arg)
 
 
 # ---------------------------------------------------------------------- #
