@@ -193,7 +193,7 @@ def multi_head_attention(params: Dict,
                              dropout_keep_prob=dropout_keep_prob)
     elif key_mask is not None and use_pallas() \
             and (dropout_rng is None or flash_dropout_enabled()):
-        from .kernel_config import spmd_wrap_mesh
+        from .kernel_config import spmd_wrap_plan
         from .pallas_attention import (flash_attention,
                                        flash_attention_sharded,
                                        flash_sharded_ok,
@@ -207,13 +207,15 @@ def multi_head_attention(params: Dict,
         if dropout_rng is not None and dropout_keep_prob < 1.0:
             dk_key = rng_to_key_words(dropout_rng)
             kp = dropout_keep_prob
-        if spmd_wrap_mesh() is None:
+        if spmd_wrap_plan() is None:
             out = flash_attention(q, k, v, key_mask, causal,
                                   128, 128, dk_key, kp)
         elif flash_sharded_ok(q):
-            # multi-device data(/model) mesh: the kernel runs per
-            # shard inside a fully-manual shard_map — single-chip
-            # kernel perf survives scale-out (kernel_config.note_mesh)
+            # multi-device mesh: the kernel runs per data(/model)
+            # shard inside a shard_map — fully manual at top level,
+            # nested over the still-auto axes inside a GPipe stage
+            # body (kernel_config.spmd_wrap_plan) — so single-chip
+            # kernel perf survives scale-out, PP/EP/CP included
             out = flash_attention_sharded(q, k, v, key_mask, causal,
                                           dk_key, kp)
         # else: batch/heads don't divide the mesh — dense path below

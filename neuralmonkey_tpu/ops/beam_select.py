@@ -182,23 +182,22 @@ def small_topk(x: jnp.ndarray, k: int, force_pallas: bool = None
     enabled = use_pallas() if force_pallas is None else force_pallas
     if not enabled or x.dtype != jnp.float32:
         return _topk_reference(x, k)
-    from .kernel_config import spmd_wrap_mesh
-    mesh = spmd_wrap_mesh()
-    if mesh is not None:
-        # multi-device data(/model) mesh: run the kernel per data
-        # shard of the row axis (kernel_config.note_mesh rationale); the
-        # kernel pads rows internally so only divisibility gates
-        if x.shape[0] % mesh.shape.get("data", 1):
+    from .kernel_config import spmd_wrap_plan
+    plan = spmd_wrap_plan()
+    if plan is not None:
+        # multi-device mesh: run the kernel per data shard of the row
+        # axis (kernel_config.spmd_wrap_plan rationale); the kernel
+        # pads rows internally so only divisibility gates
+        if x.shape[0] % plan.data:
             return _topk_reference(x, k)
         from jax.sharding import PartitionSpec as P
 
         def body(x_):
             return _topk_pallas(x_, k)
 
-        wrapped = jax.shard_map(
-            body, mesh=mesh, in_specs=(P("data", None),),
-            out_specs=(P("data", None), P("data", None)),
-            check_vma=False)
+        wrapped = plan.shard_map(
+            body, in_specs=(P("data", None),),
+            out_specs=(P("data", None), P("data", None)))
         return wrapped(x)
     return _topk_pallas(x, k)
 
@@ -458,15 +457,14 @@ def fused_logits_rowmax_lse(
     if (not enabled or n % SUBLANES or vp % LANE or d % LANE
             or x.dtype != jnp.float32 or w.dtype != jnp.float32):
         return _reference()
-    from .kernel_config import spmd_wrap_mesh
-    mesh = spmd_wrap_mesh()
-    if mesh is not None:
+    from .kernel_config import spmd_wrap_plan
+    plan = spmd_wrap_plan()
+    if plan is not None:
         # data-parallel meshes shard the row axis; w/b replicate. A
         # >1 'model' axis could shard the vocab columns instead —
         # that layout keeps the unfused path (reference).
-        dp = mesh.shape.get("data", 1)
-        if any(size > 1 for name, size in mesh.shape.items()
-               if name != "data"):
+        dp = plan.data
+        if plan.model > 1:
             return _reference()
         if n % dp:
             return _reference()
@@ -480,12 +478,10 @@ def fused_logits_rowmax_lse(
         from jax.sharding import PartitionSpec as P
         logits_out = (P("data", None, None) if kern_3d
                       else P("data", None))
-        wrapped = jax.shard_map(
+        wrapped = plan.shard_map(
             partial(_fused_pallas, tiling=tiling, logits_3d=kern_3d),
-            mesh=mesh,
             in_specs=(P("data", None), P(None, None), P(None, None)),
-            out_specs=(logits_out, P("data", None), P("data")),
-            check_vma=False)
+            out_specs=(logits_out, P("data", None), P("data")))
         logits, rowmax, lse = wrapped(x, w, b)
         if logits_3d and not kern_3d:
             logits = logits.reshape(n, vp // LANE, LANE)
@@ -517,18 +513,17 @@ def rowmax_lse(x: jnp.ndarray, force_pallas: bool = None
     if (not enabled or n % SUBLANES != 0 or vp % LANE != 0
             or x.dtype != jnp.float32):
         return _rowmax_lse_reference(x)
-    from .kernel_config import spmd_wrap_mesh
-    mesh = spmd_wrap_mesh()
-    if mesh is not None:
+    from .kernel_config import spmd_wrap_plan
+    plan = spmd_wrap_plan()
+    if plan is not None:
         # per-data-shard rows must stay a multiple of the kernel's
         # 8-row sublane grid
-        dp = mesh.shape.get("data", 1)
+        dp = plan.data
         if n % dp or (n // dp) % SUBLANES:
             return _rowmax_lse_reference(x)
         from jax.sharding import PartitionSpec as P
-        wrapped = jax.shard_map(
-            _rowmax_lse_pallas, mesh=mesh, in_specs=(P("data", None),),
-            out_specs=(P("data", None), P("data")),
-            check_vma=False)
+        wrapped = plan.shard_map(
+            _rowmax_lse_pallas, in_specs=(P("data", None),),
+            out_specs=(P("data", None), P("data")))
         return wrapped(x)
     return _rowmax_lse_pallas(x)

@@ -70,37 +70,104 @@ def note_mesh(mesh: Optional[Any]) -> None:
     ops/ is batch-parallel — the per-device shard of a
     ('data'[, 'model'])-sharded operand is exactly the single-chip
     shape the kernel already handles — so the dispatch sites wrap the
-    kernels in a fully-manual ``jax.shard_map`` over this mesh
-    (each kernel's *_sharded dispatch) and keep single-chip kernel performance at
-    scale-out (VERDICT r2 item 1). Meshes with axes beyond
-    {'data', 'model'} (pipe/expert/context) keep the pure-JAX paths:
-    their layer bodies already sit inside their own shard_maps."""
+    kernels in a ``jax.shard_map`` over this mesh (each kernel's
+    *_sharded dispatch) and keep single-chip kernel performance at
+    scale-out (VERDICT r2 item 1). :func:`spmd_wrap_plan` decides the
+    wrap per trace context, so pipe/expert/context meshes keep their
+    kernels too (VERDICT r3 item 3) — at top level the wrap is fully
+    manual with the extra axes replicated; inside a partial-auto body
+    (a GPipe stage, the ring) a NESTED shard_map makes the remaining
+    auto axes manual."""
     global _ACTIVE_MESH
     _ACTIVE_MESH = mesh
 
 
-def spmd_wrap_mesh():
-    """The active multi-device mesh when kernels should be shard_map
-    wrapped per data(/model) shard, else None (single device: call the
-    kernel directly; ineligible mesh: pure-JAX paths)."""
+def _manual_axes() -> frozenset:
+    """Mesh axes already manual in the current trace context (inside a
+    partial-auto shard_map body, e.g. a GPipe stage where only 'pipe'
+    is manual). Empty at top level / outside jit / on old jax."""
+    try:
+        import jax
+        am = jax.sharding.get_abstract_mesh()
+        return frozenset(getattr(am, "manual_axes", ()) or ())
+    except Exception:
+        return frozenset()
+
+
+class KernelWrapPlan:
+    """How a kernel dispatch site should shard_map-wrap its Pallas
+    call in the current trace context.
+
+    ``data`` / ``model`` are the axis sizes the wrap makes manual (1
+    when absent) — sites use them for divisibility checks and their
+    ``in_specs``. Axes the plan wraps but the specs never mention
+    (pipe/expert/context at top level) replicate their operands, which
+    matches GSPMD semantics for batch-parallel kernels whose operands
+    are only ('data'[, 'model'])-sharded. ``axis_names`` is ``None``
+    for a fully-manual wrap (top level) or the auto-axis subset a
+    nested partial wrap makes manual (inside a GPipe/MoE/ring body,
+    where the outer manual axes must stay untouched)."""
+
+    def __init__(self, mesh: Any, axis_names: Optional[frozenset]):
+        self.mesh = mesh
+        self.axis_names = axis_names
+        shape = dict(mesh.shape)
+        wrapped = (set(shape) if axis_names is None else axis_names)
+        self.data = shape.get("data", 1) if "data" in wrapped else 1
+        self.model = shape.get("model", 1) if "model" in wrapped else 1
+
+    def shard_map(self, body: Any, in_specs: Any, out_specs: Any):
+        import jax
+        kwargs = {}
+        if self.axis_names is not None:
+            kwargs["axis_names"] = set(self.axis_names)
+        return jax.shard_map(body, mesh=self.mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False,
+                             **kwargs)
+
+
+def spmd_wrap_plan() -> Optional[KernelWrapPlan]:
+    """The wrap a kernel dispatch site needs HERE, or ``None`` when
+    the kernel may be called directly (single device; every >1 mesh
+    axis already manual in this context; or NM_SPMD_PALLAS=0 opted out
+    of wrapping). Sites consult this only after :func:`use_pallas`
+    returned True — ineligible multi-device-auto contexts (old jax,
+    NM_SPMD_PALLAS=0 without a force) are turned off there."""
     mesh = _ACTIVE_MESH
     if mesh is None or mesh.size <= 1:
         return None
     if os.environ.get("NM_SPMD_PALLAS") in ("0", "false", "False"):
         return None
-    if not set(mesh.axis_names) <= {"data", "model"}:
-        return None
     import jax
     if not hasattr(jax, "shard_map"):  # needs the stable API's
         return None                    # replicated-input transpose
-    return mesh
+    manual = _manual_axes()
+    auto = frozenset(a for a in mesh.axis_names
+                     if mesh.shape[a] > 1 and a not in manual)
+    if not auto:
+        return None  # fully-manual region (e.g. the ring body)
+    if not manual:
+        return KernelWrapPlan(mesh, None)
+    # nested: wrap ONLY the still-auto axes over the abstract mesh —
+    # the concrete mesh is not addressable from inside a manual body
+    am = jax.sharding.get_abstract_mesh()
+    return KernelWrapPlan(am, auto)
 
 
 def use_pallas() -> bool:
-    if _ACTIVE_MESH is not None and _ACTIVE_MESH.size > 1:
-        if spmd_wrap_mesh() is None \
-                and os.environ.get("NM_USE_PALLAS") != "1":
-            return False
+    mesh = _ACTIVE_MESH
+    if mesh is not None and mesh.size > 1 \
+            and os.environ.get("NM_USE_PALLAS") != "1":
+        manual = _manual_axes()
+        if any(mesh.shape[a] > 1 and a not in manual
+               for a in mesh.axis_names):
+            # auto axes present: kernels need the shard_map wrap
+            import jax
+            if not hasattr(jax, "shard_map"):
+                return False
+            if os.environ.get("NM_SPMD_PALLAS") \
+                    in ("0", "false", "False"):
+                return False
     return _use_pallas_cached()
 
 

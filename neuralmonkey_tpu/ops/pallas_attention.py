@@ -179,12 +179,16 @@ def _head_pad(head_dim: int) -> int:
 
 
 def _reference_flash(q, k, v, mask, causal: bool,
-                     dropout_key=None, keep_prob: float = 1.0):
+                     dropout_key=None, keep_prob: float = 1.0,
+                     shard_fold=None):
     """Dense reference. With ``dropout_key`` it applies the kernels'
     hash-based keep mask (same ``_keep_hash`` sites, same global
     counters) so kernel-vs-reference agreement holds bit-for-bit on
     the mask — this twin is also what the XLA-remat backward
-    differentiates through, so forward and backward see one mask."""
+    differentiates through, so forward and backward see one mask.
+    ``shard_fold=(dp, mp)`` reproduces GLOBALLY the per-shard folded
+    keys + LOCAL (batch·head) counters a (dp, mp)-way sharded kernel
+    forward drew (the nested-context backward, _flash_sharded_bwd)."""
     from .attention import (attention_bias_from_mask, causal_bias,
                             dot_product_attention)
     bias = attention_bias_from_mask(mask)
@@ -201,23 +205,44 @@ def _reference_flash(q, k, v, mask, causal: bool,
     scores = scores + bias
     weights = jax.nn.softmax(scores, axis=-1)
     keep = _keep_mask_dense(dropout_key, batch, heads, q_len, kv_len,
-                            keep_prob)
+                            keep_prob, shard_fold)
     weights = jnp.where(keep, weights, 0.0) * (1.0 / keep_prob)
     context = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype),
                          v, preferred_element_type=jnp.float32)
     return context.astype(v.dtype)
 
 
+def _dense_shard_fold(plan):
+    """(dp, mp) wrapped-axis sizes whose per-shard key fold the dense
+    twin must reproduce, or None when one shard (no fold)."""
+    if plan is None or plan.data * plan.model == 1:
+        return None
+    return (plan.data, plan.model)
+
+
 def _keep_mask_dense(dropout_key, batch: int, heads: int, q_len: int,
-                     kv_len: int, keep_prob: float) -> jnp.ndarray:
+                     kv_len: int, keep_prob: float,
+                     shard_fold=None) -> jnp.ndarray:
     """The kernels' keep mask materialized densely (reference twin +
     remat backward): (B, H, Tq, Tk) bool. ``kv_span`` in the counters
     is the UNPADDED kv length — the kernels use the same constant, so
-    padding/tiling never changes which bits a valid position draws."""
+    padding/tiling never changes which bits a valid position draws.
+    With ``shard_fold=(dp, mp)`` the key words carry the per-shard
+    fold (_shard_fold_key) and the (batch·head) counter is the
+    shard-LOCAL one, matching a sharded kernel forward bit-for-bit."""
     k0 = dropout_key[0]
     k1 = dropout_key[1]
-    bh = jnp.arange(batch * heads, dtype=jnp.int32).reshape(
-        batch, heads, 1, 1)
+    if shard_fold is None:
+        bh = jnp.arange(batch * heads, dtype=jnp.int32).reshape(
+            batch, heads, 1, 1)
+    else:
+        dp, mp = shard_fold
+        b = jnp.arange(batch, dtype=jnp.int32)[:, None]
+        h = jnp.arange(heads, dtype=jnp.int32)[None, :]
+        ix = (b // (batch // dp)) * mp + h // (heads // mp)
+        k0 = (k0 ^ (ix * _GOLD))[:, :, None, None]
+        bh = ((b % (batch // dp)) * (heads // mp)
+              + h % (heads // mp))[:, :, None, None]
     pos = (jnp.arange(q_len, dtype=jnp.int32)[:, None] * kv_len
            + jnp.arange(kv_len, dtype=jnp.int32)[None, :])
     bits = _keep_hash(k0, k1, bh, pos[None, None])
@@ -674,62 +699,184 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_sharded_ok(q: jnp.ndarray) -> bool:
-    """Whether the active multi-device mesh can shard_map-wrap the
-    flash kernel for this operand: batch divides 'data', heads divide
+    """Whether the current trace context can shard_map-wrap the flash
+    kernel for this operand: batch divides 'data', heads divide
     'model' (kernel_config.note_mesh rationale)."""
-    from .kernel_config import spmd_wrap_mesh
-    mesh = spmd_wrap_mesh()
-    if mesh is None:
+    from .kernel_config import spmd_wrap_plan
+    plan = spmd_wrap_plan()
+    if plan is None:
         return False
-    return (q.shape[0] % mesh.shape.get("data", 1) == 0
-            and q.shape[1] % mesh.shape.get("model", 1) == 0)
+    return (q.shape[0] % plan.data == 0
+            and q.shape[1] % plan.model == 0)
 
 
 def flash_attention_sharded(q, k, v, mask, causal: bool = False,
                             dropout_key=None, keep_prob: float = 1.0):
-    """Flash attention on a multi-device ('data'[, 'model']) mesh:
-    fully-manual shard_map, batch split over 'data' and heads over
-    'model' (the kernel is per-head, so head-manual is exact). The
-    per-shard body is the single-chip kernel + its VJP, so gradients
-    ride through unchanged. Caller checked :func:`flash_sharded_ok`.
+    """Flash attention on a multi-device mesh: shard_map-wrapped per
+    data(/model) shard of the batch/head axes — fully manual at top
+    level, a NESTED partial wrap over the still-auto axes inside a
+    GPipe/MoE body (kernel_config.spmd_wrap_plan). Caller checked
+    :func:`flash_sharded_ok`.
+
+    The VJP is explicit at the WRAP level: forward and backward are
+    each ONE self-contained shard_map with declared in/out specs (the
+    lse statistic is a declared output that re-enters the backward as
+    a declared input). Letting jax transpose an inner shard_map would
+    instead thread custom-vjp residuals through inferred specs, which
+    the XLA partitioner rejects with a manual-subgroup CHECK failure
+    when TWO wrapped call sites share one partial-auto stage body
+    (the pipelined decoder's self+cross attention — found round 4).
 
     With dropout, each shard folds its mesh position into the key
     words — the in-kernel hash counters are LOCAL (batch·head, pos),
     so without the fold every data shard would redraw the same mask
     (the flaw the ring's global-chunk counters avoid)."""
     import jax
-    from jax.sharding import PartitionSpec as P
-    from .kernel_config import spmd_wrap_mesh
-    mesh = spmd_wrap_mesh()
-    hm = "model" if mesh.shape.get("model", 1) > 1 else None
-    qspec = P("data", hm, None, None)
+    from .kernel_config import spmd_wrap_plan
+    plan = spmd_wrap_plan()
     dropout = dropout_key is not None and keep_prob < 1.0
-
-    def body(q_, k_, v_, m_, key_f32):
-        if dropout:
-            # key rides as f32 bits (int operands make the shard_map
-            # transpose produce float0 leaves some jax versions
-            # reject); lax.stop_gradient keeps it out of the tangent
-            key_ = jax.lax.bitcast_convert_type(
-                jax.lax.stop_gradient(key_f32), jnp.int32)
-            ix = jax.lax.axis_index("data")
-            if hm is not None:
-                ix = (ix * mesh.shape["model"]
-                      + jax.lax.axis_index("model"))
-            key_ = jnp.stack([key_[0] ^ (ix * _GOLD), key_[1]])
-        else:
-            key_ = None
-        return flash_attention(q_, k_, v_, m_, causal, 128, 128,
-                               key_, keep_prob)
-
     key_arg = jax.lax.bitcast_convert_type(
         dropout_key.astype(jnp.int32) if dropout
         else jnp.zeros((2,), jnp.int32), jnp.float32)
-    wrapped = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(qspec, qspec, qspec, P("data", None), P(None)),
-        out_specs=qspec, check_vma=False)
-    return wrapped(q, k, v, mask, key_arg)
+    del plan
+    return _flash_sharded_vjp(q, k, v, mask.astype(jnp.float32),
+                              key_arg, causal, keep_prob, dropout)
+
+
+def _sharded_specs():
+    """(plan, qspec, mask_spec, stat_spec) for the current context."""
+    from jax.sharding import PartitionSpec as P
+    from .kernel_config import spmd_wrap_plan
+    plan = spmd_wrap_plan()
+    hm = "model" if plan.model > 1 else None
+    dm = "data" if plan.data > 1 else None
+    return (plan, P(dm, hm, None, None), P(dm, None), P(dm, hm, None))
+
+
+def _shard_fold_key(key_f32, ixd, ixm, plan, dropout: bool):
+    """Per-shard kernel key words (or None): fold the mesh position
+    of the wrapped axes into the key so shards draw distinct masks.
+    The shard index arrives as (1,)-sliced iota inputs (``ixd``/
+    ``ixm``), NOT ``jax.lax.axis_index`` — inside a NESTED wrap the
+    axis_index lowering emits an sdy.manual_computation that re-binds
+    the outer manual axes and fails MLIR verification (found r4)."""
+    import jax
+    if not dropout:
+        return None
+    key_ = jax.lax.bitcast_convert_type(
+        jax.lax.stop_gradient(key_f32), jnp.int32)
+    ix = ixd[0] * plan.model + ixm[0]
+    return jnp.stack([key_[0] ^ (ix * _GOLD), key_[1]])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_sharded_vjp(q, k, v, mask, key_f32, causal: bool,
+                       keep_prob: float, dropout: bool):
+    out, _ = _flash_sharded_fwd_call(q, k, v, mask, key_f32, causal,
+                                     keep_prob, dropout)
+    return out
+
+
+def _flash_sharded_fwd_call(q, k, v, mask, key_f32, causal,
+                            keep_prob, dropout):
+    plan, qspec, mspec, sspec = _sharded_specs()
+
+    def body(q_, k_, v_, m_, kf_, ixd, ixm):
+        key_ = _shard_fold_key(kf_, ixd, ixm, plan, dropout)
+        return _flash_attention_pallas(
+            q_, k_, v_, m_, causal, 128, 128, key_,
+            keep_prob if dropout else 1.0)
+
+    wrapped = plan.shard_map(
+        body,
+        in_specs=(qspec, qspec, qspec, mspec, _P_NONE())
+        + _ix_specs(plan),
+        out_specs=(qspec, sspec))
+    return wrapped(q, k, v, mask, key_f32, *_ix_iotas(plan))
+
+
+def _P_NONE():
+    from jax.sharding import PartitionSpec as P
+    return P(None)
+
+
+def _ix_specs(plan):
+    """in_specs for the (dp,)/(mp,) shard-index iotas: sliced along
+    their axis so each shard reads its own index at element 0 (a
+    1-sized axis rides replicated as [0])."""
+    from jax.sharding import PartitionSpec as P
+    return (P("data") if plan.data > 1 else P(None),
+            P("model") if plan.model > 1 else P(None))
+
+
+def _ix_iotas(plan):
+    """(dp,) and (mp,) int32 shard-index iotas."""
+    return (jnp.arange(plan.data, dtype=jnp.int32),
+            jnp.arange(plan.model, dtype=jnp.int32))
+
+
+def _flash_sharded_fwd(q, k, v, mask, key_f32, causal, keep_prob,
+                       dropout):
+    out, lse = _flash_sharded_fwd_call(q, k, v, mask, key_f32,
+                                       causal, keep_prob, dropout)
+    return out, (q, k, v, mask, key_f32, out, lse)
+
+
+def _flash_sharded_bwd(causal, keep_prob, dropout, residuals, g):
+    import jax
+    q, k, v, mask, key_f32, out, lse = residuals
+    plan, qspec, mspec, sspec = _sharded_specs()
+    if plan.axis_names is not None:
+        # NESTED context (inside a GPipe/MoE stage body): the backward
+        # runs as plain GSPMD code — an inner bwd shard_map here feeds
+        # residuals whose sharding keeps the outer manual subgroup
+        # into specs that dropped it, and the XLA partitioner aborts
+        # on the mismatch (spmd_partitioner.cc IsManualSubgroup CHECK,
+        # found round 4 with self+cross flash in one pipelined stage).
+        # The dense-reference remat is also the measured-faster
+        # backward at product sequence lengths (see
+        # _PALLAS_BWD_BYTES_THRESHOLD).
+        key_ = (jax.lax.bitcast_convert_type(key_f32, jnp.int32)
+                if dropout else None)
+        kp = keep_prob if dropout else 1.0
+        _, vjp = jax.vjp(
+            lambda a, b, c, m: _reference_flash(
+                a, b, c, m, causal, key_, kp,
+                shard_fold=_dense_shard_fold(plan)),
+            q, k, v, mask)
+        dq, dk, dv, _ = vjp(g)
+        return dq, dk, dv, jnp.zeros_like(mask), \
+            jnp.zeros_like(key_f32)
+    from .kernel_config import use_pallas_train
+    use_kernels = (pallas_interpret()
+                   or (use_pallas_train() and _use_pallas_bwd(q, k)))
+
+    def body(q_, k_, v_, m_, kf_, out_, lse_, g_, ixd, ixm):
+        key_ = _shard_fold_key(kf_, ixd, ixm, plan, dropout)
+        kp = keep_prob if dropout else 1.0
+        if use_kernels:
+            return _flash_backward_pallas(q_, k_, v_, m_, out_, lse_,
+                                          g_, causal, key_, kp)
+        # measured-faster short-T path: XLA remat through the dense
+        # reference twin (same hash keep mask by construction)
+        _, vjp = jax.vjp(
+            lambda a, b, c, m: _reference_flash(a, b, c, m, causal,
+                                                key_, kp),
+            q_, k_, v_, m_)
+        dq, dk, dv, _ = vjp(g_)
+        return dq, dk, dv
+
+    wrapped = plan.shard_map(
+        body,
+        in_specs=(qspec, qspec, qspec, mspec, _P_NONE(), qspec,
+                  sspec, qspec) + _ix_specs(plan),
+        out_specs=(qspec, qspec, qspec))
+    dq, dk, dv = wrapped(q, k, v, mask, key_f32, out, lse, g,
+                         *_ix_iotas(plan))
+    return dq, dk, dv, jnp.zeros_like(mask), jnp.zeros_like(key_f32)
+
+
+_flash_sharded_vjp.defvjp(_flash_sharded_fwd, _flash_sharded_bwd)
 
 
 # ---------------------------------------------------------------------- #
@@ -848,13 +995,12 @@ def bahdanau_step_dispatch(keys: jnp.ndarray, states: jnp.ndarray,
     psummed over the manual axes by the shard_map transpose); a
     non-dividing batch or an ineligible mesh falls back to the pure
     reference."""
-    import jax
-    from .kernel_config import spmd_wrap_mesh
-    mesh = spmd_wrap_mesh()
-    if mesh is None:
+    from .kernel_config import spmd_wrap_plan
+    plan = spmd_wrap_plan()
+    if plan is None:
         return fused_bahdanau_step(keys, states, mask,
                                    projected_query, similarity_v)
-    if keys.shape[0] % mesh.shape.get("data", 1):
+    if keys.shape[0] % plan.data:
         return _reference_bahdanau(keys, states, mask,
                                    projected_query, similarity_v)
     from jax.sharding import PartitionSpec as P
@@ -862,10 +1008,9 @@ def bahdanau_step_dispatch(keys: jnp.ndarray, states: jnp.ndarray,
     def body(k_, s_, m_, pq_, v_):
         return fused_bahdanau_step(k_, s_, m_, pq_, v_)
 
-    wrapped = jax.shard_map(
-        body, mesh=mesh,
+    wrapped = plan.shard_map(
+        body,
         in_specs=(P("data", None, None), P("data", None, None),
                   P("data", None), P("data", None), P()),
-        out_specs=(P("data", None), P("data", None)),
-        check_vma=False)
+        out_specs=(P("data", None), P("data", None)))
     return wrapped(keys, states, mask, projected_query, similarity_v)

