@@ -62,6 +62,18 @@ def constrain_sequence(x, time_axis: int = 1):
     spec = [None] * x.ndim
     spec[0] = "data"
     spec[time_axis] = time_name
+    # Inside an outer manual region (a GPipe stage body under CP x PP)
+    # the concrete mesh is not addressable: shardings minted from it
+    # poison the backward pass with a mesh-context mismatch
+    # (_unbroadcast reshapes cotangents to the captured sharding).
+    # Constrain over the trace context's abstract mesh instead — same
+    # pattern as ops/kernel_config.spmd_wrap_plan's nested wraps.
+    from .kernel_config import _manual_axes
+    manual = _manual_axes()
+    if manual:
+        if time_name in manual or "data" in manual:
+            return x  # constraint axes already manual here
+        mesh = jax.sharding.get_abstract_mesh()
     sharding = jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec(*spec))
     return jax.lax.with_sharding_constraint(x, sharding)

@@ -165,7 +165,7 @@ def _init_osm(q, v_dim):
     return acc, m, l
 
 
-def _ring_body(q, k, v, mask, *, cp: int, causal: bool,
+def _ring_body(q, k, v, mask, idx, *, cp: int, causal: bool,
                dropout_rng=None, keep_prob: float = 1.0):
     """Contiguous per-device ring schedule. Inside the shard_map only
     the time axis is manual: q (B, H, Tq/C, Dh), k/v (B, H, Tk/C, Dh),
@@ -177,7 +177,11 @@ def _ring_body(q, k, v, mask, *, cp: int, causal: bool,
     import jax
     import jax.numpy as jnp
 
-    my = jax.lax.axis_index("context")
+    # the shard index rides the iota operand, NOT axis_index: inside
+    # a nested wrap (CP x PP) axis_index emits a manual computation
+    # that re-binds the outer axes and fails MLIR verification (the
+    # same workaround as ops/pallas_attention's sharded dropout fold)
+    my = idx[0]
     tq, tk = q.shape[2], k.shape[2]
     scale = 1.0 / math.sqrt(q.shape[-1])
     perm = [(i, (i + 1) % cp) for i in range(cp)]
@@ -211,7 +215,7 @@ def _ring_body(q, k, v, mask, *, cp: int, causal: bool,
     return (acc / jnp.maximum(row_sum, 1e-20)).astype(v.dtype)
 
 
-def _zz_exchange(x, cp: int, axis: int):
+def _zz_exchange(x, cp: int, axis: int, my):
     """Contiguous → zigzag re-shard of one operand's local block:
     device ``d`` holds global thin chunks (2d, 2d+1) of size T/2C and
     must end with chunks (d, 2C−1−d). Thin chunk ``c``'s zigzag owner
@@ -224,7 +228,6 @@ def _zz_exchange(x, cp: int, axis: int):
     def zz(c):
         return c if c < cp else 2 * cp - 1 - c
 
-    my = jax.lax.axis_index("context")
     t = x.shape[axis] // 2
     low = jax.lax.slice_in_dim(x, 0, t, axis=axis)
     high = jax.lax.slice_in_dim(x, t, 2 * t, axis=axis)
@@ -240,7 +243,7 @@ def _zz_exchange(x, cp: int, axis: int):
     return lo, hi
 
 
-def _zz_unexchange(lo, hi, cp: int, axis: int):
+def _zz_unexchange(lo, hi, cp: int, axis: int, my):
     """Inverse of :func:`_zz_exchange`: send each zigzag slot back to
     the contiguous owner and reassemble the local (2t) block."""
     import jax
@@ -249,7 +252,6 @@ def _zz_unexchange(lo, hi, cp: int, axis: int):
     def zz(c):
         return c if c < cp else 2 * cp - 1 - c
 
-    my = jax.lax.axis_index("context")
     inv_a = [(zz(2 * d), d) for d in range(cp)]
     inv_b = [(zz(2 * d + 1), d) for d in range(cp)]
     even = (my % 2 == 0)
@@ -260,7 +262,7 @@ def _zz_unexchange(lo, hi, cp: int, axis: int):
     return jnp.concatenate([back_low, back_high], axis=axis)
 
 
-def _zigzag_body(q, k, v, mask, *, cp: int, dropout_rng=None,
+def _zigzag_body(q, k, v, mask, idx, *, cp: int, dropout_rng=None,
                  keep_prob: float = 1.0):
     """Balanced causal ring (VERDICT r2 item 4b). Device ``i`` owns
     query thin chunks ``i`` and ``2C−1−i``; at ring step ``s`` it
@@ -280,16 +282,16 @@ def _zigzag_body(q, k, v, mask, *, cp: int, dropout_rng=None,
     import jax
     import jax.numpy as jnp
 
-    my = jax.lax.axis_index("context")
+    my = idx[0]  # iota operand, not axis_index — see _ring_body
     t = q.shape[2] // 2
     scale = 1.0 / math.sqrt(q.shape[-1])
     n_chunks = 2 * cp
     perm = [(i, (i + 1) % cp) for i in range(cp)]
 
-    q_lo, q_hi = _zz_exchange(q, cp, axis=2)
-    k_lo, k_hi = _zz_exchange(k, cp, axis=2)
-    v_lo, v_hi = _zz_exchange(v, cp, axis=2)
-    m_lo, m_hi = _zz_exchange(mask, cp, axis=1)
+    q_lo, q_hi = _zz_exchange(q, cp, axis=2, my=my)
+    k_lo, k_hi = _zz_exchange(k, cp, axis=2, my=my)
+    v_lo, v_hi = _zz_exchange(v, cp, axis=2, my=my)
+    m_lo, m_hi = _zz_exchange(mask, cp, axis=1, my=my)
 
     lo_id = my                 # global thin-chunk id of the low slot
     hi_id = 2 * cp - 1 - my
@@ -355,7 +357,8 @@ def _zigzag_body(q, k, v, mask, *, cp: int, dropout_rng=None,
         acc, _, row_sum = osm
         return (acc / jnp.maximum(row_sum, 1e-20)).astype(v.dtype)
 
-    return _zz_unexchange(finish(osm_lo), finish(osm_hi), cp, axis=2)
+    return _zz_unexchange(finish(osm_lo), finish(osm_hi), cp, axis=2,
+                          my=my)
 
 
 def ring_attention(q, k, v, key_mask, causal: bool = False,
@@ -379,6 +382,7 @@ def ring_attention(q, k, v, key_mask, causal: bool = False,
     (~f32 epsilon).
     """
     import jax
+    import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
     mesh = _CTX_MESH
@@ -406,10 +410,18 @@ def ring_attention(q, k, v, key_mask, causal: bool = False,
     sm = getattr(jax, "shard_map", None)
     if sm is not None:
         # partial-auto: ONLY 'context' is manual; 'data' batch
-        # sharding and any 'model' head sharding stay GSPMD-managed
-        wrapped = sm(body, mesh=mesh,
+        # sharding and any 'model' head sharding stay GSPMD-managed.
+        # Inside an outer manual region (a GPipe stage body under
+        # CP x PP) the concrete mesh is not addressable — nest over
+        # the abstract mesh instead, exactly like
+        # ops/kernel_config.spmd_wrap_plan's nested kernel wraps.
+        from ..ops.kernel_config import _manual_axes
+        wrap_mesh = mesh
+        if _manual_axes():
+            wrap_mesh = jax.sharding.get_abstract_mesh()
+        wrapped = sm(body, mesh=wrap_mesh,
                      in_specs=(time_spec, time_spec, time_spec,
-                               P(None, "context")),
+                               P(None, "context"), P("context")),
                      out_specs=time_spec,
                      axis_names={"context"}, check_vma=False)
     else:  # older jax: fully-manual fallback (no TP composition,
@@ -419,9 +431,10 @@ def ring_attention(q, k, v, key_mask, causal: bool = False,
         qspec = P(dp, None, "context", None)
         wrapped = shard_map(body, mesh=mesh,
                             in_specs=(qspec, qspec, qspec,
-                                      P(dp, "context")),
+                                      P(dp, "context"), P("context")),
                             out_specs=qspec, check_rep=False)
-    return wrapped(q, k, v, key_mask)
+    idx = jnp.arange(cp, dtype=jnp.int32)
+    return wrapped(q, k, v, key_mask, idx)
 
 
 def blockwise_dropout_mask(rng, keep_prob: float, batch: int,

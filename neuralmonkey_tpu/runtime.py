@@ -133,117 +133,62 @@ class TPUManager:
                 "num_context_shards + num_model_shards needs "
                 "partial-auto jax.shard_map (jax >= 0.4.32)")
         if num_context_shards > 1 and (num_pipeline_stages > 1
-                                       or num_expert_shards > 1):
+                                       or num_expert_shards > 1) \
+                and not hasattr(jax, "shard_map"):
+            # CP x PP nests the ring's shard_map inside the GPipe
+            # stage body (only 'context' manual there); CP x EP puts
+            # the ring and the expert all-to-all at sibling call
+            # sites over disjoint manual axes. Both need partial-auto
+            # shard_map — the fully-manual ring fallback would seize
+            # the 'pipe'/'expert' axes.
             raise ValueError(
-                "num_context_shards composes with num_model_shards "
-                "(ring attention inside each TP group) but not with "
-                "num_pipeline_stages/num_expert_shards — those own "
-                "their own shard_map layouts")
-        if num_expert_shards > 1 and num_pipeline_stages > 1:
-            # EP x PP(, x TP): layer stacks stage over 'pipe' (manual
-            # inside gpipe_apply's shard_map), each stage's expert
-            # weights split over 'expert', optional Megatron 'model'
-            # on the hidden dims — 'expert'/'model'/'data' all stay
-            # GSPMD-managed inside the stage body
-            span = (num_pipeline_stages * num_expert_shards
-                    * num_model_shards)
-            if self.n_devices % span:
-                raise ValueError(
-                    f"{self.n_devices} devices not divisible by "
-                    f"num_pipeline_stages*num_expert_shards"
-                    f"*num_model_shards={span}")
-            dp = self.n_devices // span
-            if num_model_shards > 1:
-                self.mesh = jax.sharding.Mesh(
-                    np.array(devices).reshape(
-                        dp, num_pipeline_stages, num_expert_shards,
-                        num_model_shards),
-                    axis_names=("data", "pipe", "expert", "model"))
-            else:
-                self.mesh = jax.sharding.Mesh(
-                    np.array(devices).reshape(
-                        dp, num_pipeline_stages, num_expert_shards),
-                    axis_names=("data", "pipe", "expert"))
-            from .ops.moe import enable_expert_sharding
-            from .parallel.pipeline import enable_pipeline
-            enable_expert_sharding(self.mesh)
-            enable_pipeline(self.mesh)
-        elif num_expert_shards > 1:
-            span = num_expert_shards * num_model_shards
-            if self.n_devices % span:
-                raise ValueError(
-                    f"{self.n_devices} devices not divisible by "
-                    f"num_expert_shards*num_model_shards={span}")
-            dp = self.n_devices // span
-            if num_model_shards > 1:
-                # EP x TP: experts over 'expert', each expert's hidden
-                # dim Megatron-sharded over 'model' (all GSPMD — no
-                # manual regions anywhere in the MoE path)
-                self.mesh = jax.sharding.Mesh(
-                    np.array(devices).reshape(
-                        dp, num_expert_shards, num_model_shards),
-                    axis_names=("data", "expert", "model"))
-            else:
-                self.mesh = jax.sharding.Mesh(
-                    np.array(devices).reshape(dp, num_expert_shards),
-                    axis_names=("data", "expert"))
+                "num_context_shards + num_pipeline_stages/"
+                "num_expert_shards needs partial-auto jax.shard_map "
+                "(jax >= 0.4.32)")
+        # Generic mesh builder: one named axis per enabled
+        # parallelism dimension, major-to-minor
+        # ('data', 'pipe', 'expert', 'context', 'model') so the
+        # heaviest per-layer traffic (TP all-reduces, then the CP
+        # ring's ppermutes) rides the minor (nearest-neighbor ICI)
+        # axes while the per-microbatch pipe hops and the per-step DP
+        # gradient reduction sit on the outer ones.
+        #
+        # How the manual regions compose on a multi-axis mesh:
+        #   - 'pipe' is manual only inside gpipe_apply's partial-auto
+        #     shard_map (parallel/pipeline.py); 'expert' only inside
+        #     the MoE dispatch's (ops/moe.py); 'context' only inside
+        #     the ring's (parallel/ring_attention.py). All other axes
+        #     stay GSPMD-managed inside each body, so the wraps
+        #     compose: CP x PP nests the ring INSIDE a stage body,
+        #     CP x EP runs ring and all-to-all at sibling call sites,
+        #     and 'data'/'model' shardings thread through everything.
+        extra = [(name, size) for name, size in
+                 (("pipe", num_pipeline_stages),
+                  ("expert", num_expert_shards),
+                  ("context", num_context_shards),
+                  ("model", num_model_shards)) if size > 1]
+        span = 1
+        for _, size in extra:
+            span *= size
+        if self.n_devices % span:
+            raise ValueError(
+                f"{self.n_devices} devices not divisible by "
+                + "*".join(f"{name}={size}" for name, size in extra))
+        dp = self.n_devices // span
+        self.mesh = jax.sharding.Mesh(
+            np.array(devices).reshape(
+                (dp,) + tuple(size for _, size in extra)),
+            axis_names=("data",) + tuple(name for name, _ in extra))
+        if num_expert_shards > 1:
             from .ops.moe import enable_expert_sharding
             enable_expert_sharding(self.mesh)
-        elif num_pipeline_stages > 1:
-            span = num_pipeline_stages * num_model_shards
-            if self.n_devices % span:
-                raise ValueError(
-                    f"{self.n_devices} devices not divisible by "
-                    f"num_pipeline_stages*num_model_shards={span}")
-            dp = self.n_devices // span
-            if num_model_shards > 1:
-                # PP x TP: the pipeline's shard_map keeps only 'pipe'
-                # manual, so the Megatron 'model' shardings stay
-                # GSPMD-managed inside each stage body
-                self.mesh = jax.sharding.Mesh(
-                    np.array(devices).reshape(
-                        dp, num_pipeline_stages, num_model_shards),
-                    axis_names=("data", "pipe", "model"))
-            else:
-                self.mesh = jax.sharding.Mesh(
-                    np.array(devices).reshape(dp, num_pipeline_stages),
-                    axis_names=("data", "pipe"))
+        if num_pipeline_stages > 1:
             from .parallel.pipeline import enable_pipeline
             enable_pipeline(self.mesh)
-        elif num_context_shards > 1:
-            span = num_context_shards * num_model_shards
-            if self.n_devices % span:
-                raise ValueError(
-                    f"{self.n_devices} devices not divisible by "
-                    f"num_context_shards*num_model_shards={span}")
-            dp = self.n_devices // span
-            if num_model_shards > 1:
-                # CP x TP: attention time over 'context' (manual ring
-                # inside parallel/ring_attention's shard_map), heads
-                # Megatron-sharded over 'model' (GSPMD-managed — the
-                # ring keeps only 'context' manual)
-                self.mesh = jax.sharding.Mesh(
-                    np.array(devices).reshape(
-                        dp, num_context_shards, num_model_shards),
-                    axis_names=("data", "context", "model"))
-            else:
-                self.mesh = jax.sharding.Mesh(
-                    np.array(devices).reshape(dp, num_context_shards),
-                    axis_names=("data", "context"))
-            from .parallel.ring_attention import enable_context_parallel
+        if num_context_shards > 1:
+            from .parallel.ring_attention import \
+                enable_context_parallel
             enable_context_parallel(self.mesh)
-        elif num_model_shards > 1:
-            if self.n_devices % num_model_shards:
-                raise ValueError(
-                    f"{self.n_devices} devices not divisible by "
-                    f"num_model_shards={num_model_shards}")
-            dp = self.n_devices // num_model_shards
-            self.mesh = jax.sharding.Mesh(
-                np.array(devices).reshape(dp, num_model_shards),
-                axis_names=("data", "model"))
-        else:
-            self.mesh = jax.sharding.Mesh(
-                np.array(devices), axis_names=("data",))
         n_proc = jax.process_count()
         proc = (f", process {jax.process_index()}/{n_proc}"
                 if n_proc > 1 else "")

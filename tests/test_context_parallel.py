@@ -368,9 +368,130 @@ def test_context_mesh_shapes_and_rejections():
     manager = TPUManager(num_context_shards=2, num_model_shards=2)
     assert dict(manager.mesh.shape) == {"data": 2, "context": 2,
                                         "model": 2}
-    with pytest.raises(ValueError):
-        TPUManager(num_context_shards=2, num_pipeline_stages=2)
-    with pytest.raises(ValueError):
-        TPUManager(num_context_shards=2, num_expert_shards=2)
+    # CP x PP and CP x EP compose since round 4 (the ring nests inside
+    # the GPipe stage body / runs beside the expert all-to-all)
+    manager = TPUManager(num_context_shards=2, num_pipeline_stages=2)
+    assert dict(manager.mesh.shape) == {"data": 2, "pipe": 2,
+                                        "context": 2}
+    manager = TPUManager(num_context_shards=2, num_expert_shards=2)
+    assert dict(manager.mesh.shape) == {"data": 2, "expert": 2,
+                                        "context": 2}
     with pytest.raises(ValueError):  # 3*1 does not divide 8
         TPUManager(num_context_shards=3)
+
+
+def _toy_dataset_cp6():
+    """Source length 6 so the pipelined ENCODER's self-attention is
+    ring-eligible at cp=2 as well (6 % 2 == 0)."""
+    return Dataset("toy", {
+        "source": [[f"w{(i + j) % 24}" for j in range(6)]
+                   for i in range(16)],
+        "target": [[f"w{i % 24}", f"w{(i + 3) % 24}"]
+                   for i in range(16)],
+    })
+
+
+def _build_staged(stages=0, experts=0):
+    kwargs = dict(embedding_size=16, ff_hidden_size=32, depth=4,
+                  dropout_keep_prob=1.0)
+    if stages:
+        kwargs["pipeline_stages"] = stages
+    if experts:
+        kwargs["moe_experts"] = experts
+    enc = TransformerEncoder(
+        name="cpx_src", vocabulary=_vocab(), data_id="source",
+        n_heads=4, **kwargs)
+    dec = TransformerDecoder(
+        name="cpx_tgt", vocabulary=_vocab(), data_id="target",
+        encoders=[enc], n_heads_self=4, n_heads_enc=4,
+        max_output_len=6, tie_embeddings=False, **kwargs)
+    trainer = CrossEntropyTrainer(
+        decoders=[dec], clip_norm=1.0,
+        optimizer=AdamOptimizer(learning_rate=1e-3))
+    return trainer, GreedyRunner(output_series="target", decoder=dec)
+
+
+def test_context_parallel_composes_with_pipeline(monkeypatch):
+    """CP x PP (round 4): the ring's partial-auto shard_map nests
+    INSIDE the GPipe stage body (only 'context' manual there, over the
+    trace context's abstract mesh; the shard index rides an iota
+    operand because axis_index fails MLIR verification in nested
+    wraps). Train/decode on the dp x pp x cp mesh must match the
+    pp-only run exactly, with the ring engaged and the stacked layer
+    params still 'pipe'-sharded."""
+    calls = {"n": 0}
+    real = ring_mod.ring_attention
+
+    def counted(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(ring_mod, "ring_attention", counted)
+    from neuralmonkey_tpu.parallel.pipeline import disable_pipeline
+    ds = _toy_dataset_cp6()
+    res = {}
+    for cp in (1, 2):
+        trainer, runner = _build_staged(stages=2)
+        manager = TPUManager(num_context_shards=cp,
+                             num_pipeline_stages=2, random_seed=0)
+        expect = {"data": 4 // cp, "pipe": 2}
+        if cp > 1:
+            expect["context"] = cp
+        assert dict(manager.mesh.shape) == expect
+        manager.initialize_model_parts([trainer, runner], seed=0)
+        qw = manager.params["cpx_src"]["layers"]["att"]["q"]["w"]
+        assert qw.sharding.shard_shape(qw.shape) == (2, 16, 16)
+        before = calls["n"]
+        l1 = manager.train_on_batch(trainer, ds, batch_size=16)["loss"]
+        l2 = manager.train_on_batch(trainer, ds, batch_size=16)["loss"]
+        if cp > 1:  # enc self + dec self ride the ring in-stage
+            assert calls["n"] > before
+        else:
+            assert calls["n"] == before
+        outs = manager.run_on_batch([runner], ds,
+                                    batch_size=16)[0].outputs
+        res[cp] = (l1, l2, outs)
+        disable_context_parallel()
+        disable_pipeline()
+    assert res[1][0] == pytest.approx(res[2][0], rel=1e-5)
+    assert res[1][1] == pytest.approx(res[2][1], rel=1e-5)
+    assert res[1][2] == res[2][2]
+
+
+def test_context_parallel_composes_with_expert_parallel(monkeypatch):
+    """CP x EP (round 4): the ring and the MoE expert all-to-all sit
+    at sibling call sites (attention vs FFN) with disjoint manual
+    axes on the dp x ep x cp mesh — losses and decodes match the
+    single-mesh MoE run exactly."""
+    calls = {"n": 0}
+    real = ring_mod.ring_attention
+
+    def counted(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(ring_mod, "ring_attention", counted)
+    from neuralmonkey_tpu.ops.moe import disable_expert_sharding
+    ds = _toy_dataset_cp6()
+    res = {}
+    for cp in (1, 2):
+        trainer, runner = _build_staged(experts=4)
+        manager = TPUManager(num_context_shards=cp,
+                             num_expert_shards=2 if cp > 1 else 1,
+                             random_seed=0)
+        manager.initialize_model_parts([trainer, runner], seed=0)
+        before = calls["n"]
+        l1 = manager.train_on_batch(trainer, ds, batch_size=16)["loss"]
+        l2 = manager.train_on_batch(trainer, ds, batch_size=16)["loss"]
+        if cp > 1:
+            assert calls["n"] > before
+        else:
+            assert calls["n"] == before
+        outs = manager.run_on_batch([runner], ds,
+                                    batch_size=16)[0].outputs
+        res[cp] = (l1, l2, outs)
+        disable_context_parallel()
+        disable_expert_sharding()
+    assert res[1][0] == pytest.approx(res[2][0], rel=1e-5)
+    assert res[1][1] == pytest.approx(res[2][1], rel=1e-5)
+    assert res[1][2] == res[2][2]

@@ -242,12 +242,12 @@ def test_moe_expert_parallel_matches_replicated():
 
 
 def test_rejected_mesh_combinations_still_raise():
-    """MoE x pipeline composes since round 3 (test_moe_pipeline.py);
-    the mesh combinations the runtime still genuinely rejects raise
-    with actionable messages (runtime.py guards). When one of these
-    cells gets implemented, move it to its own composition test."""
-    with pytest.raises(ValueError, match="num_context_shards"):
-        TPUManager(num_expert_shards=4, num_context_shards=2)
+    """MoE x pipeline composes since round 3 (test_moe_pipeline.py)
+    and MoE x context-parallel since round 4
+    (test_context_parallel.py); the one combination the runtime still
+    genuinely rejects raises with an actionable message (runtime.py
+    guard, docs/distributed.md non-goal). When this cell gets
+    implemented, move it to its own composition test."""
     with pytest.raises(ValueError, match="fsdp"):
         TPUManager(fsdp=True, num_pipeline_stages=2)
 
