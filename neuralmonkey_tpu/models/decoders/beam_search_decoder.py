@@ -395,7 +395,16 @@ class BeamSearchDecoder(ModelPart):
         tile_fn = (parent.tile_decode_constants_lineage if use_lineage
                    else parent.tile_decode_constants)
         tiled_constants = [tile_fn(c, beam) for c in constants_list]
-        tiled_states = [_tile_beam(s, beam) for s in init_states]
+        # decoders may tile their loop state into a kernel-specific
+        # layout (the transformer's fused lineage-attention caches) —
+        # single-model lineage searches only (the ensemble vmap stacks
+        # states, which must stay plain row-tiled trees)
+        tile_state = getattr(parent, "tile_decode_state", None)
+        if tile_state is not None and n_models == 1:
+            tiled_states = [tile_state(s, beam, use_lineage)
+                            for s in init_states]
+        else:
+            tiled_states = [_tile_beam(s, beam) for s in init_states]
         if n_models > 1:
             stacked_constants = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *tiled_constants)

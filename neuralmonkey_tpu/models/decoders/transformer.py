@@ -552,6 +552,43 @@ class TransformerDecoder(AutoregressiveDecoder):
             })
         return tuple(caches)
 
+    def tile_decode_state(self, state, beam: int, lineage: bool):
+        """Beam-tile the decode loop state. The plain path row-repeats
+        (the generic ``_tile_beam``); when lineage decoding can use the
+        fused Pallas kernel (ops/lineage_attention.py), the KV caches
+        are rebuilt in the kernel's time-major-interleaved layout
+        instead: k (B, H, Dh, K·T) with lane index t·K + j, v
+        (B, H, K·T, Dh) — a static decode window is then a contiguous
+        lane prefix, and per-step writes are K contiguous lanes."""
+        import os
+        from ...ops.kernel_config import use_pallas
+        from ...ops.lineage_attention import lineage_kernel_ok
+        heads = self.n_heads_self
+        head_dim = self.model_dim // heads
+        # Measured on-chip (docs/performance.md, round 4): the fused
+        # kernel path LOSES to the einsum path at bench shapes (the
+        # K16-row dots are MXU-granularity-bound), so it is opt-in.
+        if not (lineage and use_pallas()
+                and os.environ.get("NM_LINEAGE_KERNEL") == "1"
+                and lineage_kernel_ok(beam, heads, head_dim,
+                                      self.max_output_len)):
+            return jax.tree_util.tree_map(
+                lambda x: jnp.repeat(x, beam, axis=0), state)
+        batch = state[0]["k"].shape[0]
+        dtype = state[0]["k"].dtype
+        if os.environ.get("NM_LINEAGE_KERNEL_BF16") == "1":
+            dtype = jnp.bfloat16
+        lanes = beam * self.max_output_len
+        caches = []
+        for _ in range(self.depth):
+            caches.append({
+                "kq": jnp.zeros((batch, heads, head_dim, lanes),
+                                dtype),
+                "vq": jnp.zeros((batch, heads, lanes, head_dim),
+                                dtype),
+            })
+        return tuple(caches)
+
     def decode_step(self, constants: Any, loop_state: Any,
                     prev_ids: jnp.ndarray, step: Any):
         params = constants["params"]
@@ -678,20 +715,31 @@ class TransformerDecoder(AutoregressiveDecoder):
 
         att_weights = None
 
-        positions = jnp.arange(win)
-        # (1, 1, 1, W): positions beyond `step` masked for every head
-        cache_bias = jnp.where(positions <= step, 0.0,
-                               NEG_INF)[None, None, None, :]
-        # one-hot lineage mask (B, K, J, W), shared by all layers;
-        # future positions hold the identity slot (the search resets
-        # them after every selection), so they are exact too
-        lineage = (anc[:, :, None, :win]
-                   == jnp.arange(beam, dtype=anc.dtype)[
-                       None, None, :, None]).astype(jnp.float32)
-
         heads = self.n_heads_self
         head_dim = self.model_dim // heads
         scale = 1.0 / (head_dim ** 0.5)
+
+        kernel_layout = isinstance(caches[0], dict) \
+            and "kq" in caches[0]
+        if kernel_layout:
+            from ...ops.lineage_attention import (lane_window,
+                                                  lineage_bias)
+            total_lanes = beam * length
+            win_lanes = lane_window(win, beam, total_lanes)
+            # one bias per step, shared by every layer and head
+            lin_bias = lineage_bias(anc, step, win, beam, win_lanes,
+                                    length)
+        else:
+            positions = jnp.arange(win)
+            # (1, 1, 1, W): positions beyond `step` masked everywhere
+            cache_bias = jnp.where(positions <= step, 0.0,
+                                   NEG_INF)[None, None, None, :]
+            # one-hot lineage mask (B, K, J, W), shared by all layers;
+            # future positions hold the identity slot (the search
+            # resets them after every selection), so they are exact
+            lineage = (anc[:, :, None, :win]
+                       == jnp.arange(beam, dtype=anc.dtype)[
+                           None, None, :, None]).astype(jnp.float32)
 
         new_caches = []
         for i in range(self.depth):
@@ -702,6 +750,37 @@ class TransformerDecoder(AutoregressiveDecoder):
             q = nn.linear(att_p["q"], normed)
             k_t = nn.linear(att_p["k"], normed)
             v_t = nn.linear(att_p["v"], normed)
+            if kernel_layout:
+                # fused Pallas lineage attention: scores vs all slots
+                # + one-hot -inf bias + flat softmax + context in one
+                # kernel (2 MXU dots per head; ops/lineage_attention)
+                from ...ops.lineage_attention import lineage_attention
+                k_ins = k_t.reshape(batch, beam, heads, head_dim) \
+                    .transpose(0, 2, 3, 1).astype(cache["kq"].dtype)
+                v_ins = v_t.reshape(batch, beam, heads, head_dim) \
+                    .transpose(0, 2, 1, 3).astype(cache["vq"].dtype)
+                kq = jax.lax.dynamic_update_slice(
+                    cache["kq"], k_ins,
+                    (0, 0, 0, step * beam))
+                vq = jax.lax.dynamic_update_slice(
+                    cache["vq"], v_ins,
+                    (0, 0, step * beam, 0))
+                new_caches.append({"kq": kq, "vq": vq})
+                k16 = lin_bias.shape[1]
+                q4 = q.reshape(batch, beam, heads, head_dim) \
+                    .transpose(0, 2, 1, 3)
+                if k16 > beam:
+                    q4 = jnp.pad(
+                        q4, ((0, 0), (0, 0), (0, k16 - beam), (0, 0)))
+                ctx4 = lineage_attention(q4, kq, vq, lin_bias,
+                                         win_lanes)
+                att = ctx4[:, :, :beam].transpose(0, 2, 1, 3) \
+                    .reshape(rows, 1, self.model_dim).astype(x.dtype)
+                x = x + nn.linear(att_p["o"], att)
+                x, att_weights = self._lineage_cross_ffn(
+                    layer, x, constants, batch, beam, rows, i,
+                    att_weights, row_valid)
+                continue
             # each beam writes its OWN row — never reordered
             k_cache = jax.lax.dynamic_update_slice_in_dim(
                 cache["k"], k_t.astype(cache["k"].dtype), step, axis=1)
@@ -729,38 +808,9 @@ class TransformerDecoder(AutoregressiveDecoder):
             x = x + nn.linear(att_p["o"], att)
 
             heads_e = self.n_heads_enc
-            dh_e = self.model_dim // heads_e
-            for e in range(len(self.encoders)):
-                normed = layer_norm(layer[f"ln_cross_{e}"], x)
-                att_p = layer[f"cross_att_{e}"]
-                q = nn.linear(att_p["q"], normed)
-                # enc K/V kept UNtiled (one copy per sentence, see
-                # tile_decode_constants_lineage) — all K beams attend
-                # to the same keys, so fold the beam into the query
-                k_enc, v_enc = constants["enc_kv"][e][i]
-                src_len = k_enc.shape[1]
-                qe = q.reshape(batch, beam, heads_e, dh_e)
-                ke = k_enc.reshape(batch, src_len, heads_e, dh_e)
-                ve = v_enc.reshape(batch, src_len, heads_e, dh_e)
-                scale_e = 1.0 / (dh_e ** 0.5)
-                s_e = jnp.einsum(
-                    "bkhd,bthd->bhkt", qe.astype(ke.dtype), ke,
-                    preferred_element_type=jnp.float32) * scale_e
-                # enc_bias is (B, 1, 1, T): broadcasts over heads/beams
-                w_e = jax.nn.softmax(
-                    s_e + constants["enc_bias"][e], axis=-1)
-                if i == self.depth - 1 and e == 0:
-                    # attention-map feature (see decode_step); (rows,
-                    # T_src) head-averaged, DCE'd when aux is unused
-                    att_weights = jnp.mean(w_e, axis=1).reshape(
-                        rows, src_len)
-                cross = jnp.einsum(
-                    "bhkt,bthd->bkhd", w_e.astype(ve.dtype), ve,
-                    preferred_element_type=jnp.float32)
-                cross = cross.reshape(rows, 1, self.model_dim)
-                x = x + nn.linear(att_p["o"], cross)
-            normed = layer_norm(layer["ln_ff"], x)
-            x = x + self._decode_ffn(layer, normed, row_valid)
+            x, att_weights = self._lineage_cross_ffn(
+                layer, x, constants, batch, beam, rows, i,
+                att_weights, row_valid)
 
         x = layer_norm(params["ln_out"], x)[:, 0, :]
         logits, sel_aux = self._step_logits(
@@ -769,3 +819,43 @@ class TransformerDecoder(AutoregressiveDecoder):
         aux = ({"attention_weights": (att_weights,), **sel_aux}
                if att_weights is not None else sel_aux)
         return tuple(new_caches), logits, aux
+
+    def _lineage_cross_ffn(self, layer, x, constants, batch: int,
+                           beam: int, rows: int, i: int, att_weights,
+                           row_valid):
+        """One lineage-decode layer's cross-attention(s) + FFN tail —
+        shared by the einsum and fused-kernel self-attention paths."""
+        heads_e = self.n_heads_enc
+        dh_e = self.model_dim // heads_e
+        for e in range(len(self.encoders)):
+            normed = layer_norm(layer[f"ln_cross_{e}"], x)
+            att_p = layer[f"cross_att_{e}"]
+            q = nn.linear(att_p["q"], normed)
+            # enc K/V kept UNtiled (one copy per sentence, see
+            # tile_decode_constants_lineage) — all K beams attend
+            # to the same keys, so fold the beam into the query
+            k_enc, v_enc = constants["enc_kv"][e][i]
+            src_len = k_enc.shape[1]
+            qe = q.reshape(batch, beam, heads_e, dh_e)
+            ke = k_enc.reshape(batch, src_len, heads_e, dh_e)
+            ve = v_enc.reshape(batch, src_len, heads_e, dh_e)
+            scale_e = 1.0 / (dh_e ** 0.5)
+            s_e = jnp.einsum(
+                "bkhd,bthd->bhkt", qe.astype(ke.dtype), ke,
+                preferred_element_type=jnp.float32) * scale_e
+            # enc_bias is (B, 1, 1, T): broadcasts over heads/beams
+            w_e = jax.nn.softmax(
+                s_e + constants["enc_bias"][e], axis=-1)
+            if i == self.depth - 1 and e == 0:
+                # attention-map feature (see decode_step); (rows,
+                # T_src) head-averaged, DCE'd when aux is unused
+                att_weights = jnp.mean(w_e, axis=1).reshape(
+                    rows, src_len)
+            cross = jnp.einsum(
+                "bhkt,bthd->bkhd", w_e.astype(ve.dtype), ve,
+                preferred_element_type=jnp.float32)
+            cross = cross.reshape(rows, 1, self.model_dim)
+            x = x + nn.linear(att_p["o"], cross)
+        normed = layer_norm(layer["ln_ff"], x)
+        x = x + self._decode_ffn(layer, normed, row_valid)
+        return x, att_weights
