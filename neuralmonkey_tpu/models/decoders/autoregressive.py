@@ -336,20 +336,48 @@ class AutoregressiveDecoder(ModelPart):
                 log_probs, targets[..., None], axis=-1)[..., 0]
         return nll * mask
 
+    def _fused_token_nll(self, ctx: Context):
+        """(B, T) per-token nll via the fused softmax-xent kernels
+        (ops/fused_xent.py — the (B·T, V) logits never reach HBM), or
+        ``None`` when this decoder has no prelogit seam or the shape/
+        dtype/backend is ineligible (materialized-logits fallback)."""
+        proj_fn = getattr(self, "train_logit_projection", None)
+        states_fn = getattr(self, "train_prelogit_states", None)
+        if proj_fn is None or states_fn is None:
+            return None
+        from ...ops import fused_xent
+        states = states_fn(ctx)
+        bsz, time, dim = states.shape
+        w, b, transposed = proj_fn(ctx)
+        if not fused_xent.eligible(bsz * time, dim, states.dtype,
+                                   w.dtype):
+            return None
+        targets = self.train_targets(ctx).reshape(bsz * time)
+        nll = fused_xent.fused_softmax_xent(
+            states.reshape(bsz * time, dim), w, b, targets,
+            eps=self.label_smoothing or 0.0, transposed=transposed)
+        return nll.reshape(bsz, time)
+
+    @tensor
+    def train_token_nll(self, ctx: Context):
+        """(B, T) masked per-token xent — fused tail when eligible."""
+        mask = self.train_mask(ctx)
+        fused = self._fused_token_nll(ctx)
+        if fused is not None:
+            return fused * mask
+        return self._xent(self.train_logits(ctx),
+                          self.train_targets(ctx), mask)
+
     @tensor
     def train_xents(self, ctx: Context):
         """Per-sentence summed xent (B,) — the perplexity runner's input."""
-        logits = self.train_logits(ctx)
-        nll = self._xent(logits, self.train_targets(ctx),
-                         self.train_mask(ctx))
-        return jnp.sum(nll, axis=1)
+        return jnp.sum(self.train_token_nll(ctx), axis=1)
 
     @tensor
     def train_loss(self, ctx: Context):
         """Mean per-token xent (scalar) — the training objective."""
-        logits = self.train_logits(ctx)
+        nll = self.train_token_nll(ctx)
         mask = self.train_mask(ctx)
-        nll = self._xent(logits, self.train_targets(ctx), mask)
         return jnp.sum(nll) / jnp.maximum(jnp.sum(mask), 1.0)
 
     # the reference's name for the decoder's objective value

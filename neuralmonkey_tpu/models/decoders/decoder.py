@@ -294,6 +294,27 @@ class Decoder(AutoregressiveDecoder):
         return prelogits, weights
 
     @tensor
+    def train_prelogit_states(self, ctx: Context):
+        """(B, T, P) prelogit states — the fused softmax-xent seam
+        (autoregressive.py _fused_token_nll; the (B·T, V) logits
+        never materialize when the fused tail is eligible)."""
+        prelogits, _ = self.train_outputs(ctx)
+        return prelogits
+
+    def train_logit_projection(self, ctx: Context):
+        """(w, b, transposed) of the output projection in its native
+        layout (tied: the raw (V, P) embedding table)."""
+        params = ctx.get_params(self)
+        if self.tie_embeddings:
+            table = ctx.get_params(self.embeddings)["embeddings"]
+            return table, params["logit_bias"], True
+        logit = params["logit"]
+        b = logit.get("b")
+        if b is None:
+            b = jnp.zeros((logit["w"].shape[1],), jnp.float32)
+        return logit["w"], b, False
+
+    @tensor
     def train_logits(self, ctx: Context):
         prelogits, _ = self.train_outputs(ctx)
         constants = self._make_constants(ctx)

@@ -415,7 +415,12 @@ class TransformerDecoder(AutoregressiveDecoder):
                     self.moe_z_loss_weight * z_total / self.depth)
 
     @tensor
-    def train_logits(self, ctx: Context):
+    def train_prelogit_states(self, ctx: Context):
+        """(B, T, D) teacher-forced states AFTER the output layer norm
+        — everything in :meth:`train_logits` but the vocab projection.
+        Split out so the fused softmax-xent tail
+        (ops/fused_xent.py) can consume the states without the
+        (B·T, V) logits ever materializing."""
         params = ctx.get_params(self)
         inputs = self.train_inputs(ctx)
         x = self.embeddings.embed(ctx, inputs)
@@ -460,9 +465,28 @@ class TransformerDecoder(AutoregressiveDecoder):
                     x = out
             self._add_moe_losses(ctx, balance_total, z_total)
 
-        x = layer_norm(params["ln_out"], x)
+        return layer_norm(params["ln_out"], x)
+
+    @tensor
+    def train_logits(self, ctx: Context):
+        params = ctx.get_params(self)
         table = ctx.get_params(self.embeddings)["embeddings"]
-        return self._logits_from_states(params, table, x)
+        return self._logits_from_states(
+            params, table, self.train_prelogit_states(ctx))
+
+    def train_logit_projection(self, ctx: Context):
+        """(w, b, transposed) of the output projection, in its NATIVE
+        layout (tied: the (V, D) embedding table itself, no transpose
+        materialization) — the fused-xent seam."""
+        params = ctx.get_params(self)
+        if self.tie_embeddings:
+            table = ctx.get_params(self.embeddings)["embeddings"]
+            return table, params["logit_bias"], True
+        logit = params["logit"]
+        b = logit.get("b")
+        if b is None:
+            b = jnp.zeros((logit["w"].shape[1],), jnp.float32)
+        return logit["w"], b, False
 
     # ------------------------------------------------------------------ #
     # incremental decode contract (greedy + beam search)

@@ -1,0 +1,238 @@
+"""Fused softmax-xent training tail (ops/fused_xent.py).
+
+Golden tests in Pallas interpret mode (conftest forces CPU): values
+and gradients of the fused custom-VJP path must match the pure-JAX
+twin — both weight layouts, with and without label smoothing, and
+with a non-lane-aligned vocabulary (exercises the -1e9 pad columns).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuralmonkey_tpu.ops import fused_xent as fx
+from neuralmonkey_tpu.ops import kernel_config
+
+
+@pytest.fixture(autouse=True)
+def _force_pallas(monkeypatch):
+    monkeypatch.setenv("NM_USE_PALLAS", "1")
+    kernel_config._use_pallas_cached.cache_clear()
+    yield
+    kernel_config._use_pallas_cached.cache_clear()
+
+
+def _operands(n=64, d=128, v=300, transposed=False, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32) * 0.3)
+    wshape = (v, d) if transposed else (d, v)
+    w = jnp.asarray(rng.randn(*wshape).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(v).astype(np.float32) * 0.1)
+    targets = jnp.asarray(rng.randint(0, v, size=(n,)), jnp.int32)
+    return x, w, b, targets
+
+
+@pytest.mark.parametrize("transposed", [False, True])
+@pytest.mark.parametrize("eps", [0.0, 0.1])
+def test_fused_xent_value_matches_reference(transposed, eps):
+    x, w, b, targets = _operands(transposed=transposed)
+    got = jax.jit(lambda *a: fx.fused_softmax_xent(
+        *a, eps=eps, transposed=transposed))(x, w, b, targets)
+    want = fx.xent_reference(x, w, b, targets, eps, transposed)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("transposed", [False, True])
+@pytest.mark.parametrize("eps", [0.0, 0.1])
+def test_fused_xent_grads_match_reference(transposed, eps):
+    x, w, b, targets = _operands(transposed=transposed, seed=1)
+    gmask = jnp.asarray(
+        np.random.RandomState(2).rand(x.shape[0]).astype(np.float32))
+
+    def loss(fn):
+        def inner(x, w, b):
+            return jnp.sum(fn(x, w, b, targets) * gmask)
+        return inner
+
+    g_fused = jax.jit(jax.grad(loss(
+        lambda x, w, b, t: fx.fused_softmax_xent(
+            x, w, b, t, eps=eps, transposed=transposed)),
+        argnums=(0, 1, 2)))(x, w, b)
+    g_ref = jax.grad(loss(
+        lambda x, w, b, t: fx.xent_reference(
+            x, w, b, t, eps, transposed)),
+        argnums=(0, 1, 2))(x, w, b)
+    for got, want, name in zip(g_fused, g_ref, ("dx", "dw", "db")):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-6,
+            err_msg=name)
+
+
+def test_fused_xent_lane_aligned_vocab_no_pad():
+    """V already a tile multiple: the pad path is a no-op."""
+    x, w, b, targets = _operands(v=512, seed=3)
+    got = jax.jit(lambda *a: fx.fused_softmax_xent(*a, eps=0.1))(
+        x, w, b, targets)
+    want = fx.xent_reference(x, w, b, targets, 0.1, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_fused_xent_ineligible_shapes_fall_back():
+    # odd row count -> reference path (still correct)
+    x, w, b, targets = _operands(n=13, seed=4)
+    got = fx.fused_softmax_xent(x, w, b, targets, eps=0.1)
+    want = fx.xent_reference(x, w, b, targets, 0.1, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6)
+
+
+def test_fused_xent_env_gate(monkeypatch):
+    monkeypatch.setenv("NM_FUSED_XENT", "0")
+    assert not fx.eligible(64, 128, jnp.float32, jnp.float32)
+
+
+def _tiny_transformer(tie):
+    from neuralmonkey_tpu.model.part import (Context, collect_parts,
+                                             init_all_params)
+    from neuralmonkey_tpu.models.decoders.transformer import \
+        TransformerDecoder
+    from neuralmonkey_tpu.models.encoders.transformer import \
+        TransformerEncoder
+    from neuralmonkey_tpu.vocabulary import Vocabulary
+
+    vocab = Vocabulary()
+    for i in range(40):
+        vocab.add_word(f"w{i}")
+    enc = TransformerEncoder(
+        name="fx_src", vocabulary=vocab, data_id="source",
+        embedding_size=128, ff_hidden_size=64, depth=1, n_heads=4,
+        dropout_keep_prob=1.0)
+    dec = TransformerDecoder(
+        name="fx_tgt", vocabulary=vocab, data_id="target",
+        encoders=[enc], embedding_size=128, ff_hidden_size=64,
+        depth=1, n_heads_self=4, n_heads_enc=4, max_output_len=8,
+        tie_embeddings=tie, label_smoothing=0.1,
+        dropout_keep_prob=1.0)
+    parts = collect_parts([dec])
+    params = init_all_params(parts, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(7)
+    batch = {
+        "fx_src_input.ids": jnp.asarray(
+            rng.randint(4, 40, size=(4, 6)), jnp.int32),
+        "fx_src_input.mask": jnp.ones((4, 6), jnp.float32),
+        "fx_tgt.train_inputs": jnp.asarray(
+            rng.randint(4, 40, size=(4, 8)), jnp.int32),
+        "fx_tgt.train_targets": jnp.asarray(
+            rng.randint(4, 40, size=(4, 8)), jnp.int32),
+        "fx_tgt.train_mask": jnp.asarray(
+            (rng.rand(4, 8) > 0.2).astype(np.float32)),
+    }
+    return dec, params, batch, Context
+
+
+@pytest.mark.parametrize("tie", [True, False])
+def test_transformer_train_loss_fused_matches_fallback(monkeypatch,
+                                                       tie):
+    """End to end through the decoder seam: the transformer's
+    train_loss and its parameter gradients are identical (interpret
+    mode) whether the fused tail engages or the logits materialize.
+    The call counter proves the fused path actually ran."""
+    dec, params, batch, Context = _tiny_transformer(tie)
+    calls = {"n": 0}
+    real = fx._fused
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(fx, "_fused", counted)
+
+    def run():
+        def loss_fn(p):
+            ctx = Context(p, batch, train=True)
+            return dec.train_loss(ctx)
+        val, grads = jax.value_and_grad(loss_fn)(params)
+        return np.asarray(val), grads
+
+    monkeypatch.setenv("NM_FUSED_XENT", "1")
+    val_on, g_on = run()
+    assert calls["n"] > 0, "fused tail did not engage"
+    monkeypatch.setenv("NM_FUSED_XENT", "0")
+    val_off, g_off = run()
+
+    np.testing.assert_allclose(val_on, val_off, rtol=2e-6, atol=2e-7)
+    flat_on = jax.tree_util.tree_leaves_with_path(g_on)
+    flat_off = jax.tree_util.tree_leaves(g_off)
+    for (path, a), b in zip(flat_on, flat_off):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_rnn_decoder_train_loss_fused_matches_fallback(monkeypatch):
+    """Same seam through the RNN decoder (models/decoders/decoder.py
+    train_prelogit_states): maxout prelogits at a lane-aligned width
+    feed the fused tail; loss and grads match the fallback."""
+    from neuralmonkey_tpu.model.part import (Context, collect_parts,
+                                             init_all_params)
+    from neuralmonkey_tpu.models.decoders.decoder import Decoder
+    from neuralmonkey_tpu.models.encoders.recurrent import \
+        SentenceEncoder
+    from neuralmonkey_tpu.vocabulary import Vocabulary
+
+    vocab = Vocabulary()
+    for i in range(40):
+        vocab.add_word(f"w{i}")
+    enc = SentenceEncoder(
+        name="fxr_src", vocabulary=vocab, data_id="source",
+        embedding_size=32, rnn_size=64, dropout_keep_prob=1.0)
+    dec = Decoder(
+        name="fxr_tgt", vocabulary=vocab, data_id="target",
+        encoders=[enc], embedding_size=64, rnn_size=128,
+        max_output_len=8, maxout_size=128, label_smoothing=0.1,
+        dropout_keep_prob=1.0)
+    parts = collect_parts([dec])
+    params = init_all_params(parts, jax.random.PRNGKey(1))
+    rng = np.random.RandomState(9)
+    batch = {
+        "fxr_src_input.ids": jnp.asarray(
+            rng.randint(4, 40, size=(4, 6)), jnp.int32),
+        "fxr_src_input.mask": jnp.ones((4, 6), jnp.float32),
+        "fxr_tgt.train_inputs": jnp.asarray(
+            rng.randint(4, 40, size=(4, 8)), jnp.int32),
+        "fxr_tgt.train_targets": jnp.asarray(
+            rng.randint(4, 40, size=(4, 8)), jnp.int32),
+        "fxr_tgt.train_mask": jnp.asarray(
+            (rng.rand(4, 8) > 0.2).astype(np.float32)),
+    }
+    calls = {"n": 0}
+    real = fx._fused
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(fx, "_fused", counted)
+
+    def run():
+        def loss_fn(p):
+            ctx = Context(p, batch, train=True)
+            return dec.train_loss(ctx)
+        val, grads = jax.value_and_grad(loss_fn)(params)
+        return np.asarray(val), grads
+
+    monkeypatch.setenv("NM_FUSED_XENT", "1")
+    val_on, g_on = run()
+    assert calls["n"] > 0, "fused tail did not engage"
+    monkeypatch.setenv("NM_FUSED_XENT", "0")
+    val_off, g_off = run()
+    np.testing.assert_allclose(val_on, val_off, rtol=2e-6, atol=2e-7)
+    for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(g_on),
+            jax.tree_util.tree_leaves(g_off)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))

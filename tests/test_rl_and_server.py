@@ -200,9 +200,13 @@ def test_server_micro_batching(tmp_path):
             t.join(timeout=600)
         assert not errors
 
-        # batching happened: strictly fewer model calls than requests
+        # batching happened, and efficiently: the mean merged batch
+        # holds at least 2 requests (wall-clock-free efficiency gate
+        # — with the 2 s linger all 8 clients should land in 1-2
+        # calls; ≤ 4 tolerates CI scheduling gaps). VERDICT r3 item
+        # 7's counter-based assertion.
         merged_calls = service.stats["model_calls"] - calls_before
-        assert merged_calls < len(sentences)
+        assert merged_calls <= len(sentences) // 2, merged_calls
         assert service.stats["max_merged_requests"] > 1
 
         # and it did not change any result
