@@ -468,11 +468,6 @@ def fused_softmax_xent(x, w, b, targets, eps: float = 0.0,
     eps = float(eps or 0.0)
     if not eligible(n, d, x.dtype, w.dtype):
         return xent_reference(x, w, b, targets, eps, transposed)
-    # pad V to the lane grid, then pick the largest vocab tile that
-    # divides it (the actual pad target is vt-aligned: vp_pad(v, vt))
-    tiling = _tiling(n, d, vp_pad(v, LANE))
-    if tiling is None:
-        return xent_reference(x, w, b, targets, eps, transposed)
     from .kernel_config import spmd_wrap_plan
     plan = spmd_wrap_plan()
     if plan is not None:
@@ -480,7 +475,11 @@ def fused_softmax_xent(x, w, b, targets, eps: float = 0.0,
         # grads psum over 'data' inside the wrap (that psum IS the
         # gradient all-reduce GSPMD would otherwise insert). A >1
         # 'model' axis shards the vocab — keep the unfused path.
-        if plan.model > 1 or n % (plan.data * tiling[0]):
+        if plan.model > 1 or n % (plan.data * SUBLANES):
+            return xent_reference(x, w, b, targets, eps, transposed)
+        # the row tile must fit the PER-SHARD row count
+        tiling = _tiling(n // plan.data, d, vp_pad(v, LANE))
+        if tiling is None:
             return xent_reference(x, w, b, targets, eps, transposed)
         if not _compiles(n // plan.data, d, v, eps, tiling,
                          transposed):
@@ -497,6 +496,11 @@ def fused_softmax_xent(x, w, b, targets, eps: float = 0.0,
                       P("data")),
             out_specs=P("data"))
         return wrapped(x, w, b, targets)
-    if not _compiles(n, d, v, eps, tiling, transposed):
+    # single-device (or fully-manual context): pad V to the lane grid,
+    # pick the largest vocab tile dividing it (the actual pad target
+    # is vt-aligned: vp_pad(v, vt))
+    tiling = _tiling(n, d, vp_pad(v, LANE))
+    if tiling is None or not _compiles(n, d, v, eps, tiling,
+                                       transposed):
         return xent_reference(x, w, b, targets, eps, transposed)
     return _fused(x, w, b, targets, eps, v, tiling, transposed)

@@ -236,3 +236,71 @@ def test_rnn_decoder_train_loss_fused_matches_fallback(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_fused_xent_engages_on_data_mesh(monkeypatch):
+    """Full product path on the 8-device DP mesh: the fused tail's
+    shard_map wrap engages inside TPUManager's train step (token rows
+    sharded over 'data', w/b replicated, their grads psummed by the
+    wrap transpose) and the training trajectory matches the unfused
+    run exactly."""
+    from neuralmonkey_tpu.dataset import Dataset
+    from neuralmonkey_tpu.models.decoders.transformer import \
+        TransformerDecoder
+    from neuralmonkey_tpu.models.encoders.transformer import \
+        TransformerEncoder
+    from neuralmonkey_tpu.runtime import TPUManager
+    from neuralmonkey_tpu.trainers.cross_entropy_trainer import \
+        CrossEntropyTrainer
+    from neuralmonkey_tpu.trainers.optimizers import AdamOptimizer
+    from neuralmonkey_tpu.vocabulary import Vocabulary
+
+    vocab = Vocabulary()
+    for i in range(40):
+        vocab.add_word(f"w{i}")
+    ds = Dataset("toy", {
+        "source": [[f"w{(i + j) % 36}" for j in range(5)]
+                   for i in range(16)],
+        "target": [[f"w{i % 36}", f"w{(i + 3) % 36}",
+                    f"w{(i + 7) % 36}"] for i in range(16)],
+    })
+
+    def build():
+        enc = TransformerEncoder(
+            name="fxd_src", vocabulary=vocab, data_id="source",
+            embedding_size=128, ff_hidden_size=64, depth=1,
+            n_heads=4, dropout_keep_prob=1.0)
+        dec = TransformerDecoder(
+            name="fxd_tgt", vocabulary=vocab, data_id="target",
+            encoders=[enc], embedding_size=128, ff_hidden_size=64,
+            depth=1, n_heads_self=4, n_heads_enc=4, max_output_len=6,
+            label_smoothing=0.1, dropout_keep_prob=1.0)
+        trainer = CrossEntropyTrainer(
+            decoders=[dec], clip_norm=1.0,
+            optimizer=AdamOptimizer(learning_rate=1e-3))
+        return trainer
+
+    calls = {"n": 0}
+    real = fx._fused
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(fx, "_fused", counted)
+    losses = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("NM_FUSED_XENT", env)
+        trainer = build()
+        manager = TPUManager(random_seed=0)   # ('data', 8) mesh
+        manager.initialize_model_parts([trainer], seed=0)
+        before = calls["n"]
+        l1 = manager.train_on_batch(trainer, ds, batch_size=16)["loss"]
+        l2 = manager.train_on_batch(trainer, ds, batch_size=16)["loss"]
+        if env == "1":
+            assert calls["n"] > before, "fused tail did not engage"
+        else:
+            assert calls["n"] == before
+        losses[env] = (l1, l2)
+    assert losses["1"][0] == pytest.approx(losses["0"][0], rel=1e-5)
+    assert losses["1"][1] == pytest.approx(losses["0"][1], rel=1e-5)
