@@ -380,6 +380,36 @@ def verify_kernels_on_device() -> None:
     print("kernel check: flash_attention in-kernel dropout OK",
           file=sys.stderr)
 
+    # fused softmax-xent training tail (fwd nll + dx/dw/db custom VJP)
+    # vs the materialized-logits reference on the real lowering
+    from neuralmonkey_tpu.ops import fused_xent
+    xn, xd, xv = 256, 128, 1000          # non-lane-aligned V (pads)
+    xx = jnp.asarray(rng.randn(xn, xd).astype(np.float32) * 0.3)
+    xw = jnp.asarray(rng.randn(xv, xd).astype(np.float32) * 0.05)
+    xb = jnp.asarray(rng.randn(xv).astype(np.float32) * 0.1)
+    xt = jnp.asarray(rng.randint(0, xv, size=(xn,)), jnp.int32)
+
+    def _xent_sum(fn):
+        return jax.jit(jax.value_and_grad(
+            lambda x, w, b: jnp.sum(fn(x, w, b)), argnums=(0, 1, 2)))
+
+    xtiling = fused_xent._tiling(xn, xd, fused_xent.vp_pad(xv, 128))
+    assert xtiling is not None
+    got_v, got_g = _xent_sum(lambda x, w, b: fused_xent._fused(
+        x, w, b, xt, 0.1, xv, xtiling, True))(xx, xw, xb)
+    want_v, want_g = _xent_sum(lambda x, w, b: fused_xent.xent_reference(
+        x, w, b, xt, 0.1, True))(xx, xw, xb)
+    assert abs(float(got_v) - float(want_v)) / abs(float(want_v)) < 1e-3, \
+        "fused xent nll deviates on the real lowering"
+    for name, a, b in zip(("dx", "dw", "db"), got_g, want_g):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.max(np.abs(b))), 1e-6)
+        max_dev = float(np.max(np.abs(a - b))) / scale
+        assert max_dev < 1e-2, (
+            f"fused xent {name} deviates {max_dev:.2%} on the real "
+            "lowering")
+    print("kernel check: fused_xent fwd+VJP OK", file=sys.stderr)
+
 
 def _spread(run_window, n: int = None, digits: int = 2) -> dict:
     """Median/min/max over ``n`` in-process repeats of one timing

@@ -115,10 +115,14 @@ def _pad_vocab(w, b, vp: int, transposed: bool):
 def eligible(n: int, d: int, x_dtype, w_dtype) -> bool:
     """Shape/dtype/backend gate for the fused path. ``use_pallas``
     covers single-device and wrapped-SPMD contexts; multi-device
-    meshes additionally need the data-axis wrap below to apply."""
+    meshes additionally need the data-axis wrap below to apply.
+    bf16 operands are first-class (the policy's use-site cast): the
+    logit tiles run bf16xbf16->f32 on the MXU, all reductions and
+    gradients accumulate f32."""
     if os.environ.get("NM_FUSED_XENT") in ("0", "false", "False"):
         return False
-    if x_dtype != jnp.float32 or w_dtype != jnp.float32:
+    ok = (jnp.float32, jnp.bfloat16)
+    if x_dtype not in ok or w_dtype not in ok:
         return False
     if d % LANE or n % SUBLANES:
         return False
@@ -128,6 +132,18 @@ def eligible(n: int, d: int, x_dtype, w_dtype) -> bool:
 # ------------------------------------------------------------------ #
 # forward kernel
 # ------------------------------------------------------------------ #
+def _uniform_operands(x, w):
+    """Matching-dtype operand pair for an MXU dot: same dtype passes
+    through (bf16xbf16 is the native fast path); mixed f32/bf16 — the
+    policy's f32-layer-norm states against bf16 use-site weights —
+    upcasts to f32 (mixed dots are a Mosaic lowering hazard; XLA's
+    own mixed dot does the same promotion, keeping exactness vs the
+    reference twin)."""
+    if x.dtype == w.dtype:
+        return x, w
+    return x.astype(jnp.float32), w.astype(jnp.float32)
+
+
 def _fwd_kernel(x_ref, w_ref, b_ref, t_ref, lse_ref, lab_ref,
                 lsum_ref, m_s, s_s, lab_s, sum_s, *, vt: int,
                 n_vtiles: int, real_v: int, transposed: bool):
@@ -142,13 +158,13 @@ def _fwd_kernel(x_ref, w_ref, b_ref, t_ref, lse_ref, lab_ref,
         lab_s[:] = jnp.zeros(lab_s.shape, jnp.float32)
         sum_s[:] = jnp.zeros(sum_s.shape, jnp.float32)
 
-    x = x_ref[:]
+    x, w = _uniform_operands(x_ref[:], w_ref[:])
     if transposed:
         t = jax.lax.dot_general(
-            x, w_ref[:], (((1,), (1,)), ((), ())),
+            x, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
     else:
-        t = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
+        t = jnp.dot(x, w, preferred_element_type=jnp.float32)
     t = t + b_ref[:]
     nt = t.shape[0]
 
@@ -235,6 +251,7 @@ def _dlogits(x, w_blk, b_blk, tcol, lse, g, j, vt, real_v, eps,
              transposed):
     """Recompute one logit tile and fold the xent gradient:
     dl = g * (softmax - (1-eps)*onehot - eps/V)."""
+    x, w_blk = _uniform_operands(x, w_blk)
     if transposed:
         t = jax.lax.dot_general(
             x, w_blk, (((1,), (1,)), ((), ())),
@@ -265,12 +282,15 @@ def _bwd_dx_kernel(x_ref, w_ref, b_ref, t_ref, lse_ref, g_ref,
     dl = _dlogits(x_ref[:], w_ref[:], b_ref[:], t_ref[:, :1],
                   lse_ref[:, :1], g_ref[:, :1], j, vt, real_v, eps,
                   transposed)
+    # dl is f32; cast a bf16 w tile up so the dot has uniform operands
+    # (mixed f32xbf16 dots are a Mosaic lowering hazard)
+    w_f32 = w_ref[:].astype(jnp.float32)
     if transposed:                         # w (vt, d)
-        dx_ref[:] += jnp.dot(dl, w_ref[:],
+        dx_ref[:] += jnp.dot(dl, w_f32,
                              preferred_element_type=jnp.float32)
     else:                                  # w (d, vt)
         dx_ref[:] += jax.lax.dot_general(
-            dl, w_ref[:], (((1,), (1,)), ((), ())),
+            dl, w_f32, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
 
@@ -291,13 +311,14 @@ def _bwd_dw_kernel(x_ref, w_ref, b_ref, t_ref, lse_ref, g_ref,
     dl = _dlogits(x, w_ref[:], b_ref[:], t_ref[:, :1],
                   lse_ref[:, :1], g_ref[:, :1], j, vt, real_v, eps,
                   transposed)
+    x_f32 = x.astype(jnp.float32)          # uniform-dtype dw dot
     if transposed:                         # dw (vt, d)
         dw_ref[:] += jax.lax.dot_general(
-            dl, x, (((0,), (0,)), ((), ())),
+            dl, x_f32, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     else:                                  # dw (d, vt)
         dw_ref[:] += jax.lax.dot_general(
-            x, dl, (((0,), (0,)), ((), ())),
+            x_f32, dl, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     db_ref[:] += jnp.sum(dl, axis=0, keepdims=True)
 
@@ -406,7 +427,10 @@ def _fused_bwd(eps, real_v, tiling, transposed, residuals, g):
     dw = dwp[:vp] if transposed else dwp[:, :vp]
     db = dbp[:vp]
     dtargets = _np.zeros((n,), jax.dtypes.float0)
-    return dx, dw, db, dtargets
+    # cotangents must match the primal dtypes (bf16 use-site params);
+    # everything above accumulated f32, this is the only down-cast
+    return (dx.astype(x.dtype), dw.astype(w.dtype),
+            db.astype(b.dtype), dtargets)
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -418,10 +442,12 @@ def vp_pad(v: int, vt: int) -> int:
 
 @functools.lru_cache(maxsize=32)
 def _compiles(n: int, d: int, v: int, eps: float, tiling,
-              transposed: bool) -> bool:
-    """AOT probe: do all three kernels compile at this shape? (Mosaic
-    failures through the relay are instant HTTP 500s at train time
-    with no recovery — probe once per shape, fall back on failure.)"""
+              transposed: bool, x_dtype=jnp.float32,
+              w_dtype=jnp.float32, b_dtype=jnp.float32) -> bool:
+    """AOT probe: do all three kernels compile at this shape/dtype?
+    (Mosaic failures through the relay are instant HTTP 500s at train
+    time with no recovery — probe once per signature, fall back on
+    failure.)"""
     if pallas_interpret():
         return True
     try:
@@ -430,16 +456,16 @@ def _compiles(n: int, d: int, v: int, eps: float, tiling,
         f = jax.jit(functools.partial(
             _fwd_pallas, tiling=tiling, real_v=v,
             transposed=transposed))
-        f.lower(jax.ShapeDtypeStruct((n, d), jnp.float32),
-                jax.ShapeDtypeStruct(wshape, jnp.float32),
-                jax.ShapeDtypeStruct((1, vp), jnp.float32),
+        f.lower(jax.ShapeDtypeStruct((n, d), x_dtype),
+                jax.ShapeDtypeStruct(wshape, w_dtype),
+                jax.ShapeDtypeStruct((1, vp), b_dtype),
                 jax.ShapeDtypeStruct((n, LANE), jnp.int32)).compile()
         bwd = jax.jit(functools.partial(
             _bwd_pallas, tiling=tiling, real_v=v, eps=eps,
             transposed=transposed))
-        bwd.lower(jax.ShapeDtypeStruct((n, d), jnp.float32),
-                  jax.ShapeDtypeStruct(wshape, jnp.float32),
-                  jax.ShapeDtypeStruct((1, vp), jnp.float32),
+        bwd.lower(jax.ShapeDtypeStruct((n, d), x_dtype),
+                  jax.ShapeDtypeStruct(wshape, w_dtype),
+                  jax.ShapeDtypeStruct((1, vp), b_dtype),
                   jax.ShapeDtypeStruct((n, LANE), jnp.int32),
                   jax.ShapeDtypeStruct((n, LANE), jnp.float32),
                   jax.ShapeDtypeStruct((n, LANE), jnp.float32)).compile()
@@ -447,7 +473,8 @@ def _compiles(n: int, d: int, v: int, eps: float, tiling,
     except Exception as exc:  # noqa: BLE001 — any Mosaic/XLA failure
         from ..logging import warn
         warn(f"fused xent kernels do not compile at N={n} D={d} "
-             f"V={v} (tiling {tiling}): {type(exc).__name__}: "
+             f"V={v} (tiling {tiling}, {jnp.dtype(x_dtype).name}/"
+             f"{jnp.dtype(w_dtype).name}): {type(exc).__name__}: "
              f"{str(exc)[:160]}; using the pure-JAX path")
         return False
 
@@ -482,7 +509,7 @@ def fused_softmax_xent(x, w, b, targets, eps: float = 0.0,
         if tiling is None:
             return xent_reference(x, w, b, targets, eps, transposed)
         if not _compiles(n // plan.data, d, v, eps, tiling,
-                         transposed):
+                         transposed, x.dtype, w.dtype, b.dtype):
             return xent_reference(x, w, b, targets, eps, transposed)
         from jax.sharding import PartitionSpec as P
 
@@ -501,6 +528,7 @@ def fused_softmax_xent(x, w, b, targets, eps: float = 0.0,
     # is vt-aligned: vp_pad(v, vt))
     tiling = _tiling(n, d, vp_pad(v, LANE))
     if tiling is None or not _compiles(n, d, v, eps, tiling,
-                                       transposed):
+                                       transposed, x.dtype, w.dtype,
+                                       b.dtype):
         return xent_reference(x, w, b, targets, eps, transposed)
     return _fused(x, w, b, targets, eps, v, tiling, transposed)

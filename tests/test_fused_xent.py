@@ -70,6 +70,90 @@ def test_fused_xent_grads_match_reference(transposed, eps):
             err_msg=name)
 
 
+@pytest.mark.parametrize("transposed", [False, True])
+def test_fused_xent_bf16_operands(transposed):
+    """bf16 x/w (the policy's use-site cast; bias stays f32): values
+    and gradients match the pure-JAX twin on the SAME bf16 operands,
+    and the cotangents come back in the primal dtypes."""
+    x, w, b, targets = _operands(transposed=transposed, seed=5)
+    x = x.astype(jnp.bfloat16)
+    w = w.astype(jnp.bfloat16)
+    assert fx.eligible(x.shape[0], x.shape[1], x.dtype, w.dtype)
+    got = jax.jit(lambda *a: fx.fused_softmax_xent(
+        *a, eps=0.1, transposed=transposed))(x, w, b, targets)
+    want = fx.xent_reference(x, w, b, targets, 0.1, transposed)
+    assert got.dtype == jnp.float32         # loss stays f32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+    gmask = jnp.asarray(
+        np.random.RandomState(6).rand(x.shape[0]).astype(np.float32))
+
+    def loss(fn):
+        def inner(x, w, b):
+            return jnp.sum(fn(x, w, b, targets) * gmask)
+        return inner
+
+    g_fused = jax.jit(jax.grad(loss(
+        lambda x, w, b, t: fx.fused_softmax_xent(
+            x, w, b, t, eps=0.1, transposed=transposed)),
+        argnums=(0, 1, 2)))(x, w, b)
+    g_ref = jax.grad(loss(
+        lambda x, w, b, t: fx.xent_reference(x, w, b, t, 0.1,
+                                             transposed)),
+        argnums=(0, 1, 2))(x, w, b)
+    assert g_fused[0].dtype == jnp.bfloat16
+    assert g_fused[1].dtype == jnp.bfloat16
+    assert g_fused[2].dtype == jnp.float32
+    for got_g, want_g, name in zip(g_fused, g_ref,
+                                   ("dx", "dw", "db")):
+        a = np.asarray(got_g, np.float32)
+        r = np.asarray(want_g, np.float32)
+        scale = max(float(np.max(np.abs(r))), 1e-6)
+        assert float(np.max(np.abs(a - r))) / scale < 1e-2, name
+
+
+@pytest.mark.parametrize("transposed", [False, True])
+def test_fused_xent_mixed_f32_states_bf16_weights(transposed):
+    """The policy's actual training configuration: f32 states (the
+    output layer norm upcasts) against bf16 use-site weights. The
+    kernels promote to uniform f32 — values and grads match XLA's
+    mixed-dot promotion in the reference twin."""
+    x, w, b, targets = _operands(transposed=transposed, seed=8)
+    w = w.astype(jnp.bfloat16)
+    assert fx.eligible(x.shape[0], x.shape[1], x.dtype, w.dtype)
+    got = jax.jit(lambda *a: fx.fused_softmax_xent(
+        *a, eps=0.1, transposed=transposed))(x, w, b, targets)
+    want = fx.xent_reference(x, w, b, targets, 0.1, transposed)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+    gmask = jnp.asarray(
+        np.random.RandomState(6).rand(x.shape[0]).astype(np.float32))
+
+    def loss(fn):
+        def inner(x, w, b):
+            return jnp.sum(fn(x, w, b, targets) * gmask)
+        return inner
+
+    g_fused = jax.jit(jax.grad(loss(
+        lambda x, w, b, t: fx.fused_softmax_xent(
+            x, w, b, t, eps=0.1, transposed=transposed)),
+        argnums=(0, 1, 2)))(x, w, b)
+    g_ref = jax.grad(loss(
+        lambda x, w, b, t: fx.xent_reference(x, w, b, t, 0.1,
+                                             transposed)),
+        argnums=(0, 1, 2))(x, w, b)
+    assert g_fused[0].dtype == jnp.float32
+    assert g_fused[1].dtype == jnp.bfloat16
+    for got_g, want_g, name in zip(g_fused, g_ref,
+                                   ("dx", "dw", "db")):
+        a = np.asarray(got_g, np.float32)
+        r = np.asarray(want_g, np.float32)
+        scale = max(float(np.max(np.abs(r))), 1e-6)
+        assert float(np.max(np.abs(a - r))) / scale < 1e-2, name
+
+
 def test_fused_xent_lane_aligned_vocab_no_pad():
     """V already a tile multiple: the pad path is a no-op."""
     x, w, b, targets = _operands(v=512, seed=3)
@@ -236,6 +320,52 @@ def test_rnn_decoder_train_loss_fused_matches_fallback(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_fused_tail_engages_under_bf16_policy(monkeypatch):
+    """Under ``compute_dtype=bfloat16`` the use-site cast makes the
+    prelogit states and projection weights bf16 — the fused tail must
+    still engage (round-4 bf16 eligibility) and match the unfused
+    bf16 run."""
+    from neuralmonkey_tpu.ops import policy
+
+    dec, params, batch, Context = _tiny_transformer(tie=True)
+    calls = {"n": 0}
+    real = fx._fused
+
+    def counted(*a, **k):
+        # the output layer norm keeps states f32; the tied projection
+        # table carries the policy's use-site bf16 cast
+        assert a[1].dtype == jnp.bfloat16, "weights not bf16"
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(fx, "_fused", counted)
+    policy.set_compute_dtype("bfloat16")
+    try:
+        def run():
+            def loss_fn(p):
+                ctx = Context(p, batch, train=True)
+                return dec.train_loss(ctx)
+            val, grads = jax.value_and_grad(loss_fn)(params)
+            return np.asarray(val), grads
+
+        monkeypatch.setenv("NM_FUSED_XENT", "1")
+        val_on, g_on = run()
+        assert calls["n"] > 0, "fused tail did not engage under bf16"
+        monkeypatch.setenv("NM_FUSED_XENT", "0")
+        val_off, g_off = run()
+    finally:
+        policy.set_compute_dtype(None)
+    np.testing.assert_allclose(val_on, val_off, rtol=1e-4)
+    for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(g_on),
+            jax.tree_util.tree_leaves(g_off)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(float(np.max(np.abs(b))), 1e-6)
+        assert float(np.max(np.abs(a - b))) / scale < 1e-2, \
+            jax.tree_util.keystr(path)
 
 
 def test_fused_xent_engages_on_data_mesh(monkeypatch):
