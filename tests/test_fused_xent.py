@@ -19,7 +19,14 @@ from neuralmonkey_tpu.ops import kernel_config
 def _force_pallas(monkeypatch):
     monkeypatch.setenv("NM_USE_PALLAS", "1")
     kernel_config._use_pallas_cached.cache_clear()
+    # a TPUManager built by ANY earlier test leaves its mesh in the
+    # kernel registry (by-design process-global); the single-device
+    # seam tests here must not inherit it — with a stale 8-way data
+    # plan their 32 token rows fail the per-shard row gate and the
+    # fused tail silently falls back ("did not engage" flake)
+    kernel_config.note_mesh(None)
     yield
+    kernel_config.note_mesh(None)
     kernel_config._use_pallas_cached.cache_clear()
 
 
