@@ -51,6 +51,8 @@ _TRAIN_ARGS = [
     ("visualize_embeddings", False, None),
     ("minimize", False, None),
     ("compute_dtype", False, None),
+    ("compilation_cache", False, True),
+    ("compilation_cache_dir", False, None),
 ]
 
 
@@ -161,6 +163,11 @@ class Experiment:
 
         from .ops.policy import set_compute_dtype
         set_compute_dtype(getattr(self.model, "compute_dtype", None))
+
+        from .utils.compilation_cache import enable_compilation_cache
+        enable_compilation_cache(
+            cache_dir=getattr(self.model, "compilation_cache_dir", None),
+            enabled=getattr(self.model, "compilation_cache", True))
 
         seed = getattr(self.model, "random_seed", None) or 2574600
         random.seed(seed)

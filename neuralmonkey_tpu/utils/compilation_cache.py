@@ -1,0 +1,84 @@
+"""Persistent XLA compilation cache.
+
+Under jit, every (function, shape-set, sharding) pair compiles once per
+PROCESS — a fresh ``neuralmonkey-train``/``run``/``server`` invocation
+pays every compile again even though nothing changed. JAX ships a
+persistent on-disk compilation cache keyed by the HLO fingerprint
+(device kind, flags and jaxlib version included), which turns those
+repeat compiles into file reads. On TPU a production-shaped train step
+costs tens of seconds to compile (minutes for Pallas/Mosaic kernels),
+so restarting an experiment (``--cont``), re-running inference, or
+booting the server against an unchanged model is dominated by
+compilation the cache removes.
+
+The reference had no such concern: a TF1 graph was built per process
+and Session.run paid no per-shape compile (SURVEY.md §4.5). Under the
+jit execution model the cache is the standing replacement, so it is ON
+by default and shared across experiments in the user cache dir.
+
+Config surface (``[main]``):
+
+- ``compilation_cache=False`` disables it;
+- ``compilation_cache_dir="/path"`` overrides the location.
+
+Environment overrides (both trump the INI so operators can steer a
+deployed config without editing it): ``NM_COMPILE_CACHE=0`` disables,
+``NM_COMPILE_CACHE_DIR=/path`` relocates.
+"""
+
+import os
+from typing import Optional
+
+from ..logging import log
+
+# remember what we configured so repeated Experiment builds in one
+# process don't log twice or fight over the setting
+_configured: Optional[str] = None
+
+
+def default_cache_dir() -> str:
+    """Shared per-user location (XDG-style), NOT per-experiment: the
+    point is reuse across runs and across experiments of the same
+    model family."""
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    return os.path.join(base, "neuralmonkey_tpu", "xla-cache")
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None,
+                             enabled: bool = True) -> Optional[str]:
+    """Point JAX's persistent compilation cache at ``cache_dir``.
+
+    Returns the directory in effect, or None when disabled. Safe to
+    call repeatedly and AFTER backend initialization (the setting
+    applies to subsequent compiles). A cache dir the user already set
+    through JAX's own config/env wins — we only fill the default in.
+    """
+    global _configured
+
+    env = os.environ.get("NM_COMPILE_CACHE")
+    if env is not None:
+        enabled = env not in ("0", "false", "False", "")
+    if not enabled:
+        return None
+    cache_dir = (os.environ.get("NM_COMPILE_CACHE_DIR")
+                 or cache_dir or default_cache_dir())
+
+    import jax
+
+    current = getattr(jax.config, "jax_compilation_cache_dir", None)
+    if current and current != _configured:
+        return current  # user configured JAX directly; respect it
+    if current == cache_dir:
+        return cache_dir
+
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except (OSError, AttributeError) as exc:
+        log(f"persistent compilation cache unavailable: {exc}",
+            color="red")
+        return None
+    _configured = cache_dir
+    log(f"persistent XLA compilation cache at {cache_dir}")
+    return cache_dir

@@ -1,0 +1,98 @@
+"""Persistent XLA compilation cache (utils/compilation_cache.py).
+
+The reference never re-compiled anything per process (TF1 built one
+graph; SURVEY.md §4.5) — under jit, the on-disk compilation cache is
+the standing replacement, so it must (a) actually populate, (b) be
+reused by a second process, (c) honor the [main] keys and the
+NM_COMPILE_CACHE override.
+"""
+
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_PROBE = """
+import sys
+import jax
+from neuralmonkey_tpu.utils.compilation_cache import \
+    enable_compilation_cache
+where = enable_compilation_cache(cache_dir=sys.argv[1])
+assert where == sys.argv[1], where
+# production keeps JAX's >=1s-compile write threshold; the toy probe
+# compiles in ms, so lower it here to exercise the write/read path
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+f = jax.jit(lambda a: (a @ a).sum())
+import jax.numpy as jnp
+f(jnp.ones((64, 64))).block_until_ready()
+"""
+
+
+def _run(code, *argv, env_extra=None):
+    env = dict(os.environ,
+               PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               PYTHONPATH=ROOT)
+    env.pop("NM_COMPILE_CACHE", None)
+    env.update(env_extra or {})
+    subprocess.run([sys.executable, "-c", code, *argv],
+                   check=True, cwd=ROOT, timeout=300, env=env)
+
+
+def test_cache_populates_and_second_process_reuses(tmp_path):
+    cache = str(tmp_path / "xla")
+    _run(_PROBE, cache)
+    entries = set(os.listdir(cache))
+    assert entries, "first process wrote no cache entries"
+
+    # identical program in a FRESH process: same fingerprints, so the
+    # compile is served from disk and no new entries appear
+    _run(_PROBE, cache)
+    assert set(os.listdir(cache)) == entries
+
+
+def test_env_var_disables(tmp_path):
+    cache = str(tmp_path / "xla_off")
+    _run("""
+import sys
+from neuralmonkey_tpu.utils.compilation_cache import \
+    enable_compilation_cache
+assert enable_compilation_cache(cache_dir=sys.argv[1]) is None
+""", cache, env_extra={"NM_COMPILE_CACHE": "0"})
+    assert not os.path.exists(cache)
+
+
+def test_disabled_by_config_flag():
+    from neuralmonkey_tpu.utils.compilation_cache import \
+        enable_compilation_cache
+    assert enable_compilation_cache(enabled=False) is None
+
+
+def test_experiment_wires_main_keys(tmp_path):
+    """[main] compilation_cache_dir steers the location through the
+    real Experiment seam (in-process; config restored after)."""
+    import jax
+
+    from neuralmonkey_tpu.experiment import Experiment
+    from neuralmonkey_tpu.utils import compilation_cache as cc
+
+    before = getattr(jax.config, "jax_compilation_cache_dir", None)
+    before_configured = cc._configured
+    cache = str(tmp_path / "exp_cache")
+    out = str(tmp_path / "exp_out")
+    config = os.path.join(ROOT, "tests", "configs", "small.ini")
+    cwd = os.getcwd()
+    try:
+        os.chdir(ROOT)  # small.ini data paths are repo-relative
+        exp = Experiment(
+            config, train_mode=False,
+            config_changes=[f'main.output="{out}"',
+                            f'main.compilation_cache_dir="{cache}"'])
+        exp.build_model()
+        assert jax.config.jax_compilation_cache_dir == cache
+        assert os.path.isdir(cache)
+    finally:
+        os.chdir(cwd)
+        jax.config.update("jax_compilation_cache_dir", before)
+        cc._configured = before_configured
