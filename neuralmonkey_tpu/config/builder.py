@@ -36,7 +36,9 @@ MODULE_ALIASES = {
     "dataset": "neuralmonkey_tpu.dataset",
     "vocabulary": "neuralmonkey_tpu.vocabulary",
     "functions": "neuralmonkey_tpu.functions",
-    "nn": "neuralmonkey_tpu.ops.nn",
+    # parity package mirroring the reference's per-file nn/ layout
+    # (implementations live in ops/nn.py)
+    "nn": "neuralmonkey_tpu.nn",
     # The reference's TensorFlowManager maps onto the TPU runtime manager.
     "tf_manager": "neuralmonkey_tpu.runtime",
     "config": "neuralmonkey_tpu.config",

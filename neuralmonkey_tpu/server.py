@@ -116,9 +116,17 @@ class ModelService:
         return pending.outputs
 
     def close(self) -> None:
+        """Stop accepting requests, drain the queue, and JOIN the
+        worker — a leaked daemon thread mid-model-call races backend
+        teardown (same crash class as the prefetch worker)."""
         with self._cond:
             self._closed = True
             self._cond.notify_all()
+        if self._worker.is_alive():
+            self._worker.join(timeout=60.0)
+            if self._worker.is_alive():
+                warn("micro-batch worker did not stop within 60s; "
+                     "a model call may still be in flight")
 
     # -------------------------------------------------------------- #
     def _take_group(self) -> List[_PendingRequest]:
@@ -139,25 +147,40 @@ class ModelService:
         return group
 
     def _serve_loop(self) -> None:
-        while True:
+        try:
+            while True:
+                with self._cond:
+                    while not self._queue and not self._closed:
+                        self._cond.wait()
+                    if self._closed and not self._queue:
+                        return
+                    # batching window: linger for stragglers after the
+                    # first request lands (skipped when window is 0 or
+                    # the batch is already full)
+                    deadline = (time.monotonic()
+                                + self.batch_window_ms / 1e3)
+                    while (not self._closed
+                           and sum(p.rows for p in self._queue)
+                           < self.max_batch):
+                        remaining = deadline - time.monotonic()
+                        if remaining <= 0:
+                            break
+                        self._cond.wait(timeout=remaining)
+                    group = self._take_group()
+                self._execute(group)
+        except BaseException as exc:  # worker must never die silently:
+            # handlers block on pending.event with no timeout, so an
+            # unfulfilled request would hang its client forever
             with self._cond:
-                while not self._queue and not self._closed:
-                    self._cond.wait()
-                if self._closed and not self._queue:
-                    return
-                # batching window: linger for stragglers after the
-                # first request lands (skipped when window is 0 or
-                # the batch is already full)
-                deadline = time.monotonic() + self.batch_window_ms / 1e3
-                while (not self._closed
-                       and sum(p.rows for p in self._queue)
-                       < self.max_batch):
-                    remaining = deadline - time.monotonic()
-                    if remaining <= 0:
-                        break
-                    self._cond.wait(timeout=remaining)
-                group = self._take_group()
-            self._execute(group)
+                self._closed = True
+                orphans = list(self._queue)
+                self._queue.clear()
+                self._cond.notify_all()
+            for pending in orphans:
+                pending.error = RuntimeError(
+                    f"batching worker crashed: {exc!r}")
+                pending.event.set()
+            raise
 
     def _execute(self, group: List[_PendingRequest]) -> None:
         merged: Dict[str, List] = {

@@ -23,7 +23,11 @@ Config surface (``[main]``):
 
 Environment overrides (both trump the INI so operators can steer a
 deployed config without editing it): ``NM_COMPILE_CACHE=0`` disables,
-``NM_COMPILE_CACHE_DIR=/path`` relocates.
+``NM_COMPILE_CACHE_DIR=/path`` relocates. An EMPTY
+``NM_COMPILE_CACHE`` counts as unset (shell ``export VAR=``), not as
+a disable. The shared cache is LRU-bounded at 4 GB via
+``jax_compilation_cache_max_size`` unless the user set their own
+bound through JAX's config.
 """
 
 import os
@@ -56,15 +60,28 @@ def enable_compilation_cache(cache_dir: Optional[str] = None,
     """
     global _configured
 
-    env = os.environ.get("NM_COMPILE_CACHE")
+    # empty string means "unset" (shell `export NM_COMPILE_CACHE=`),
+    # matching the usual env-var convention; only explicit falsy
+    # values disable
+    env = os.environ.get("NM_COMPILE_CACHE") or None
     if env is not None:
-        enabled = env not in ("0", "false", "False", "")
+        enabled = env not in ("0", "false", "False")
+
+    import jax
+
     if not enabled:
+        # a second Experiment in the same process (server, notebook,
+        # test suite) with compilation_cache=False must actually turn
+        # the cache off, not inherit the first experiment's setting
+        if _configured is not None:
+            try:
+                jax.config.update("jax_compilation_cache_dir", None)
+            except AttributeError:
+                pass
+            _configured = None
         return None
     cache_dir = (os.environ.get("NM_COMPILE_CACHE_DIR")
                  or cache_dir or default_cache_dir())
-
-    import jax
 
     current = getattr(jax.config, "jax_compilation_cache_dir", None)
     if current and current != _configured:
@@ -75,6 +92,24 @@ def enable_compilation_cache(cache_dir: Optional[str] = None,
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # bound the shared cache: JAX only LRU-evicts when a max size
+        # is set, and the default dir is shared across experiments —
+        # unbounded growth otherwise. Respect an explicit user bound.
+        if getattr(jax.config, "jax_compilation_cache_max_size",
+                   -1) in (-1, None):
+            jax.config.update("jax_compilation_cache_max_size",
+                              4 * 1024 ** 3)  # 4 GB LRU bound
+            # LRU eviction tracks last use in per-entry "-atime"
+            # companion files; entries written before the bound
+            # existed lack them and every later write warns. Backfill.
+            for name in os.listdir(cache_dir):
+                if not name.endswith("-cache"):
+                    continue
+                atime = os.path.join(
+                    cache_dir, name[:-len("-cache")] + "-atime")
+                if not os.path.exists(atime):
+                    with open(atime, "wb"):
+                        pass
     except (OSError, AttributeError) as exc:
         log(f"persistent compilation cache unavailable: {exc}",
             color="red")

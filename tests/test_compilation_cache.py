@@ -69,6 +69,56 @@ def test_disabled_by_config_flag():
     assert enable_compilation_cache(enabled=False) is None
 
 
+def test_disable_after_enable_actually_disables(tmp_path):
+    """A second Experiment in the same process with
+    compilation_cache=False must clear the first experiment's setting
+    (ADVICE r4 #1)."""
+    import jax
+
+    from neuralmonkey_tpu.utils import compilation_cache as cc
+
+    before = getattr(jax.config, "jax_compilation_cache_dir", None)
+    before_configured = cc._configured
+    cache = str(tmp_path / "toggle")
+    try:
+        assert cc.enable_compilation_cache(cache_dir=cache) == cache
+        assert jax.config.jax_compilation_cache_dir == cache
+        assert cc.enable_compilation_cache(enabled=False) is None
+        assert jax.config.jax_compilation_cache_dir is None
+        assert cc._configured is None
+        # and re-enabling works again
+        assert cc.enable_compilation_cache(cache_dir=cache) == cache
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
+        cc._configured = before_configured
+
+
+def test_empty_env_var_means_unset(tmp_path):
+    """NM_COMPILE_CACHE="" (shell `export VAR=`) counts as unset, not
+    as a disable (ADVICE r4 #3)."""
+    cache = str(tmp_path / "empty_env")
+    _run("""
+import sys
+from neuralmonkey_tpu.utils.compilation_cache import \
+    enable_compilation_cache
+assert enable_compilation_cache(cache_dir=sys.argv[1]) == sys.argv[1]
+""", cache, env_extra={"NM_COMPILE_CACHE": ""})
+
+
+def test_cache_size_is_bounded(tmp_path):
+    """The shared default cache gets an LRU bound so it cannot grow
+    without limit across experiments (ADVICE r4 #2)."""
+    _run("""
+import sys
+import jax
+from neuralmonkey_tpu.utils.compilation_cache import \
+    enable_compilation_cache
+enable_compilation_cache(cache_dir=sys.argv[1])
+size = jax.config.jax_compilation_cache_max_size
+assert size not in (-1, None) and size > 0, size
+""", str(tmp_path / "bounded"))
+
+
 def test_experiment_wires_main_keys(tmp_path):
     """[main] compilation_cache_dir steers the location through the
     real Experiment seam (in-process; config restored after)."""

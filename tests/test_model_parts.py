@@ -146,6 +146,66 @@ def test_scaled_dot_attention(setup):
         np.asarray(weights).sum(axis=1), 1.0, atol=1e-5)
 
 
+def test_multi_head_attention(setup):
+    from neuralmonkey_tpu.models.attention.scaled_dot_product import \
+        MultiHeadAttention
+    vs, _, ds = setup
+    enc = SentenceEncoder(name="enc", vocabulary=vs, data_id="source",
+                          embedding_size=6, rnn_size=5)
+    att = MultiHeadAttention(name="mha", n_heads=2, keys_encoder=enc)
+    att.register_query_dim(4)
+    ctx, params = _build([enc, att], ds)
+    constants = att.precompute(ctx)
+    query = jnp.ones((3, 4))
+    context_vec, weights = att.step(params["mha"], constants, query)
+    assert context_vec.shape == (3, 10)
+    assert weights.shape == (3, 3)
+    w = np.asarray(weights)
+    np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-5)
+    assert w[1, 2] == 0.0  # masked position gets zero weight
+    assert w[2, 1] == 0.0
+
+    # step_beamed over shared constants == per-row step
+    beamed_ctx, beamed_w = att.step_beamed(
+        params["mha"], constants, query, beam=1)
+    np.testing.assert_allclose(np.asarray(beamed_ctx),
+                               np.asarray(context_vec), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(beamed_w), w, atol=1e-5)
+
+    # attend_sequence (teacher forcing) == per-step loop
+    queries = jnp.stack([query, 2.0 * query], axis=1)  # (B, 2, 4)
+    seq_ctx, seq_w = att.attend_sequence(
+        params["mha"], constants, queries)
+    np.testing.assert_allclose(np.asarray(seq_ctx[:, 0]),
+                               np.asarray(context_vec), atol=1e-5)
+    step2_ctx, _ = att.step(params["mha"], constants, 2.0 * query)
+    np.testing.assert_allclose(np.asarray(seq_ctx[:, 1]),
+                               np.asarray(step2_ctx), atol=1e-5)
+
+
+def test_multi_head_attention_in_decoder(setup):
+    """MultiHeadAttention drives a full RNN decoder: train loss is
+    finite and greedy decode runs (the reference's Luong multi-head
+    decoder-attention use case)."""
+    from neuralmonkey_tpu.models.attention.scaled_dot_product import \
+        MultiHeadAttention
+    vs, vt, ds = setup
+    enc = SentenceEncoder(name="enc_mh", vocabulary=vs,
+                          data_id="source", embedding_size=6,
+                          rnn_size=5)
+    att = MultiHeadAttention(name="att_mh", n_heads=2,
+                             keys_encoder=enc)
+    dec = Decoder(name="dec_mh", vocabulary=vt, data_id="target",
+                  max_output_len=4, rnn_size=7, encoders=[enc],
+                  attentions=[att], embedding_size=6)
+    ctx, params = _build([dec], ds, train=True,
+                         rng=jax.random.PRNGKey(1))
+    assert np.isfinite(float(dec.train_loss(ctx)))
+    ctx_eval = Context(params, ctx.batch, train=False)
+    _, decoded, _ = dec.greedy_outputs(ctx_eval)
+    assert decoded.shape == (3, 4)
+
+
 def test_decoder_train_and_greedy(setup):
     vs, vt, ds = setup
     enc = SentenceEncoder(name="enc", vocabulary=vs, data_id="source",
