@@ -47,16 +47,37 @@ T_HEADS = int(os.environ.get("BENCH_T_HEADS", 8))
 _TFLOPS_FALLBACK = 34e12
 
 
-def measure_matmul_ceiling() -> float:
+def _enable_compile_cache() -> None:
+    """Point JAX at the product's persistent compilation cache so
+    repeat bench runs re-serve compiles from disk instead of paying
+    tens of seconds (minutes for Mosaic kernels) per model variant.
+    Timing windows always run AFTER a warm transfer, so the cache
+    affects wall-clock setup only, never a measured number."""
+    try:
+        from neuralmonkey_tpu.utils.compilation_cache import \
+            enable_compilation_cache
+        enable_compilation_cache()
+    except Exception as exc:  # bench must run even if the cache can't
+        print(f"bench: compile cache unavailable: {exc}",
+              file=sys.stderr)
+
+
+def measure_matmul_ceiling_spread(n_windows: int = 5) -> dict:
     """Peak sustained matmul FLOP/s on this chip, measured with the
     models' own semantics (f32 operands, default precision = one bf16
     MXU pass with f32 accumulation). Protocol per CLAUDE.md: the
     matmul chain loops ON DEVICE inside one jit (lax.scan with a
     value-feedback carry so XLA cannot elide iterations) and syncs
-    once via a host transfer."""
+    once via a host transfer.
+
+    Median over ``n_windows`` repeats with min/max recorded (VERDICT
+    r4 item 5: a single ceiling measurement swung ±11% across rounds,
+    turning every cross-round MFU delta into denominator noise)."""
     env = os.environ.get("BENCH_TFLOPS_CEILING")
     if env:
-        return float(env)
+        v = float(env)
+        return {"value": v, "min": v, "max": v, "n": 1,
+                "source": "BENCH_TFLOPS_CEILING"}
     import jax
     import jax.numpy as jnp
     n, iters = 4096, 24
@@ -72,10 +93,55 @@ def measure_matmul_ceiling() -> float:
     x = jnp.eye(n, dtype=jnp.float32)  # identity: no overflow growth
     w = jnp.eye(n, dtype=jnp.float32) * 1.0001
     _ = np.asarray(chain(x, w))        # compile + warm
-    start = time.perf_counter()
-    _ = np.asarray(chain(x, w))
-    elapsed = time.perf_counter() - start
-    return max(2.0 * n ** 3 * iters / elapsed, _TFLOPS_FALLBACK)
+
+    def window() -> float:
+        start = time.perf_counter()
+        _ = np.asarray(chain(x, w))
+        elapsed = time.perf_counter() - start
+        return max(2.0 * n ** 3 * iters / elapsed, _TFLOPS_FALLBACK)
+
+    return _spread(window, n=n_windows, digits=-1)
+
+
+def measure_matmul_ceiling() -> float:
+    """Median ceiling (see measure_matmul_ceiling_spread)."""
+    return measure_matmul_ceiling_spread()["value"]
+
+
+def measure_shape_matched_ceiling(n_windows: int = 3) -> dict:
+    """Sustained TF/s on the TRAIN STEP'S OWN dominant GEMM shapes —
+    the (B·T, E)x(E, V) logit projection class, (3072, 512)x(512,
+    30720) at bench constants — so a ~0.5 train MFU can be attributed
+    to shape-induced MXU granularity vs a lowering regression (VERDICT
+    r4 item 5's optional shape-matched denominator). The chain
+    alternates y = x·W and x = y·Wᵀ-shaped GEMMs with value feedback
+    (same anti-elision protocol as the square ceiling)."""
+    import jax
+    import jax.numpy as jnp
+    rows, d, v = BATCH * MAX_OUT, EMB, 30720
+    iters = 12
+
+    @jax.jit
+    def chain(x, w1, w2):
+        def body(c, _):
+            y = jnp.dot(c, w1)          # (rows, d) x (d, v)
+            return jnp.dot(y, w2) * 1e-2, ()  # (rows, v) x (v, d)
+        y, _ = jax.lax.scan(body, x, None, length=iters)
+        return y[:8, :8]
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(rows, d).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.randn(d, v).astype(np.float32) * 0.01)
+    w2 = jnp.asarray(rng.randn(v, d).astype(np.float32) * 0.01)
+    _ = np.asarray(chain(x, w1, w2))   # compile + warm
+    flops = 2.0 * 2 * rows * d * v * iters
+
+    def window() -> float:
+        start = time.perf_counter()
+        _ = np.asarray(chain(x, w1, w2))
+        return flops / (time.perf_counter() - start)
+
+    return _spread(window, n=n_windows, digits=-1)
 
 
 def analytic_flops() -> dict:
@@ -461,6 +527,39 @@ def tpu_throughput() -> dict:
         _ = np.asarray(search(params, batch))
 
     return _spread(lambda: _decode_window(search, dec, params, batch))
+
+
+def _decode_variant(beam: int = None, src_len: int = None,
+                    transformer: bool = False,
+                    spread_n: int = 2, repeats: int = 6) -> dict:
+    """Short-window decode rate at a non-default beam width / source
+    length (VERDICT r4 item 6: the round-3 beam-20 win and the round-5
+    long-source rows existed only as one-off BASELINE.md prose — these
+    put them in the default artifact so the driver's BENCH_r* trail
+    regression-guards them). The workload-shape globals are module
+    constants read by build()/_decode_window at call time, so they are
+    swapped for the measurement and restored."""
+    global BEAM, SRC_LEN, TPU_REPEATS
+    saved = (BEAM, SRC_LEN, TPU_REPEATS)
+    BEAM = beam if beam is not None else saved[0]
+    SRC_LEN = src_len if src_len is not None else saved[1]
+    TPU_REPEATS = repeats
+    try:
+        import jax
+        builder = build_transformer if transformer else build
+        enc, dec, bs, params, batch, Context = builder(BATCH)
+
+        @jax.jit
+        def search(p, b):
+            return bs.search(Context(p, b, train=False)).token_ids
+
+        for _ in range(2):
+            _ = np.asarray(search(params, batch))
+        return _spread(
+            lambda: _decode_window(search, dec, params, batch),
+            n=spread_n)
+    finally:
+        BEAM, SRC_LEN, TPU_REPEATS = saved
 
 
 def cpu_reference_throughput() -> float:
@@ -1130,6 +1229,7 @@ def serve_concurrent(clients: int = 32, per_client: int = 5,
 
 
 def main() -> None:
+    _enable_compile_cache()
     if "--serve" in sys.argv:
         if "--concurrent" in sys.argv:
             print(json.dumps({
@@ -1265,6 +1365,13 @@ def main() -> None:
         # 0.0 for both models (bench.py --flip, BASELINE.md) — the
         # field names say so, so an artifact-only reader cannot read
         # 9% as product behavior (VERDICT r3 weak #4)
+        # beam-width + long-source regression rows (VERDICT r4 item 6)
+        _try("rnn_beam4_sentences_per_sec",
+             lambda: _decode_variant(beam=4))
+        _try("rnn_beam20_sentences_per_sec",
+             lambda: _decode_variant(beam=20))
+        _try("transformer_src512_beam10_sentences_per_sec",
+             lambda: _decode_variant(src_len=512, transformer=True))
         _try("rnn_lineage_flip_rate_random_weights_upper_bound",
              lambda: round(lineage_flip_rate("rnn"), 5))
         _try("transformer_lineage_flip_rate_random_weights_upper_bound",
@@ -1279,11 +1386,13 @@ def main() -> None:
     # regression that tok/s alone would hide
     flops = analytic_flops()
     try:
-        ceiling = measure_matmul_ceiling()
+        ceiling_spread = measure_matmul_ceiling_spread()
     except Exception as exc:
         print(f"bench: ceiling measurement failed ({exc}); "
               "using fallback", file=sys.stderr)
-        ceiling = _TFLOPS_FALLBACK
+        ceiling_spread = {"value": _TFLOPS_FALLBACK, "n": 0,
+                          "source": "fallback"}
+    ceiling = ceiling_spread["value"]
 
     def _mfu_entry(flops_per_unit, units_per_sec):
         achieved = flops_per_unit * units_per_sec
@@ -1309,6 +1418,23 @@ def main() -> None:
             extra["transformer_train_tokens_per_sec"]["value"]
             / (BATCH * MAX_OUT))
     mfu["measured_ceiling_tflops"] = round(ceiling / 1e12, 2)
+    # denominator spread (VERDICT r4 item 5): MFU is computed against
+    # the MEDIAN ceiling; min/max make cross-round MFU deltas signal
+    mfu["ceiling_spread"] = {
+        k: (round(v / 1e12, 2) if k in ("value", "min", "max") else v)
+        for k, v in ceiling_spread.items()}
+    # shape-matched ceiling: the train step's own dominant GEMM class
+    # ((3072, 512)x(512, 30720)) so ~0.5 train MFU is attributable to
+    # shapes vs lowering
+    try:
+        sm = measure_shape_matched_ceiling()
+        mfu["shape_matched_ceiling_tflops"] = {
+            k: (round(v / 1e12, 2)
+                if k in ("value", "min", "max") else v)
+            for k, v in sm.items()}
+    except Exception as exc:
+        print(f"bench: shape-matched ceiling failed: {exc}",
+              file=sys.stderr)
     extra["mfu"] = mfu
 
     line = {

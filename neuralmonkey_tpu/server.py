@@ -70,9 +70,14 @@ class ModelService:
         self.experiment = experiment
         self.batch_window_ms = batch_window_ms
         self.max_batch = max_batch
-        # instrumentation (read by tests and bench.py --serve)
+        # instrumentation (read by tests and bench.py --serve);
+        # merged_requests_total / merged_rows_total accumulate per
+        # model call so mean merged batch size = *_total / model_calls
+        # is a wall-clock-free efficiency measure of the batching
         self.stats = {"requests": 0, "model_calls": 0,
-                      "max_merged_requests": 0, "max_merged_rows": 0}
+                      "max_merged_requests": 0, "max_merged_rows": 0,
+                      "merged_requests_total": 0,
+                      "merged_rows_total": 0}
         self._cond = threading.Condition()
         self._queue: List[_PendingRequest] = []
         self._closed = False
@@ -189,6 +194,8 @@ class ModelService:
             for name, sentences in pending.series.items():
                 merged[name].extend(sentences)
         self.stats["model_calls"] += 1
+        self.stats["merged_requests_total"] += len(group)
+        self.stats["merged_rows_total"] += sum(p.rows for p in group)
         self.stats["max_merged_requests"] = max(
             self.stats["max_merged_requests"], len(group))
         self.stats["max_merged_rows"] = max(

@@ -180,6 +180,7 @@ def test_server_micro_batching(tmp_path):
         reference = {s: post({"source": [s]})["target"][0]
                      for s in sentences}
         calls_before = service.stats["model_calls"]
+        merged_total_before = service.stats["merged_requests_total"]
         service.batch_window_ms = 2000.0
 
         results = {}
@@ -208,6 +209,14 @@ def test_server_micro_batching(tmp_path):
         merged_calls = service.stats["model_calls"] - calls_before
         assert merged_calls <= len(sentences) // 2, merged_calls
         assert service.stats["max_merged_requests"] > 1
+        # mean merged batch size under concurrent load ≥ 2 requests
+        # per model call (VERDICT r4 item 3's wall-clock-free
+        # efficiency assertion, computed over the concurrent phase
+        # via the accumulating merged_requests_total counter)
+        merged_reqs = (service.stats["merged_requests_total"]
+                       - merged_total_before)
+        mean_merged = merged_reqs / max(merged_calls, 1)
+        assert mean_merged >= 2.0, (mean_merged, service.stats)
 
         # and it did not change any result
         for s in sentences:
