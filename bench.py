@@ -62,6 +62,43 @@ def _enable_compile_cache() -> None:
               file=sys.stderr)
 
 
+def _wait_for_device() -> None:
+    """The tunneled backend can WEDGE — every jit (even a 128x128
+    matmul) hangs — after a client dies mid-remote-compile, and the
+    outage can last hours (CLAUDE.md). A wedged relay would make the
+    whole bench hang with no diagnostic, so probe with a BOUNDED
+    subprocess jit first and retry on a timer: a transient outage
+    delays the run instead of silently eating it. BENCH_PROBE_WAIT
+    caps the total wait (seconds; default 30 min; 0 skips)."""
+    import subprocess
+    budget = float(os.environ.get("BENCH_PROBE_WAIT", 1800))
+    if budget <= 0:
+        return
+    deadline = time.time() + budget
+    probe = ("import jax, jax.numpy as jnp;"
+             "print(float(jax.jit(lambda a: (a @ a).sum())"
+             "(jnp.ones((128, 128)))))")
+    while True:
+        try:
+            subprocess.run([sys.executable, "-c", probe],
+                           timeout=120, check=True, capture_output=True)
+            return
+        except subprocess.TimeoutExpired:
+            if time.time() > deadline:
+                print("bench: device probe still hanging after "
+                      f"{budget:.0f}s; proceeding anyway",
+                      file=sys.stderr)
+                return
+            print("bench: device probe hung (wedged relay?); "
+                  "retrying in 60s", file=sys.stderr)
+            time.sleep(60)
+        except subprocess.CalledProcessError as exc:
+            tail = (exc.stderr or b"")[-300:].decode(errors="replace")
+            print(f"bench: device probe errored (not a hang): {tail}",
+                  file=sys.stderr)
+            return  # let the real run surface the error
+
+
 def measure_matmul_ceiling_spread(n_windows: int = 5) -> dict:
     """Peak sustained matmul FLOP/s on this chip, measured with the
     models' own semantics (f32 operands, default precision = one bf16
@@ -1230,6 +1267,7 @@ def serve_concurrent(clients: int = 32, per_client: int = 5,
 
 def main() -> None:
     _enable_compile_cache()
+    _wait_for_device()
     if "--serve" in sys.argv:
         if "--concurrent" in sys.argv:
             print(json.dumps({
