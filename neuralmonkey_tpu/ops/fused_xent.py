@@ -33,6 +33,20 @@ contracts last-dim x last-dim; ``transposed=False`` takes a plain
 Numerics: f32 in, f32 accumulation, exp(t - lse) <= 1 in the
 backward. Exactness vs the pure-JAX twin is golden-tested in
 interpret mode (tests/test_fused_xent.py).
+
+**Default: OFF (opt-in via NM_FUSED_XENT=1) — a measured negative.**
+Round-10 A/B on the idle chip (scripts/run_measurements.sh; full
+numbers in BASELINE.md and docs/performance.md): the isolated tail is
+5% SLOWER fused (4.70 vs 4.48 ms fwd+bwd at N=3072, V=30k, f32) and
+end-to-end training is faster with the kernel OFF — RNN +5.5% f32 /
++12.9% bf16 (286.1k vs 253.5k tok/s), transformer +2.3% f32 / tie
+bf16. The predicted ~5-6 ms of avoided HBM traffic does not
+materialize as time: XLA overlaps the (N, V) round-trips behind the
+MXU work of the surrounding GEMMs, while the fused kernels pay their
+2 recompute GEMMs and lose XLA's inter-op pipelining. The kernel is
+kept opt-in for its MEMORY value — the (N, V) logits/dlogits
+(~0.4 GB each at bench shapes) are never materialized, which admits
+larger batches in HBM-constrained configs.
 """
 
 from __future__ import annotations
@@ -118,8 +132,13 @@ def eligible(n: int, d: int, x_dtype, w_dtype) -> bool:
     meshes additionally need the data-axis wrap below to apply.
     bf16 operands are first-class (the policy's use-site cast): the
     logit tiles run bf16xbf16->f32 on the MXU, all reductions and
-    gradients accumulate f32."""
-    if os.environ.get("NM_FUSED_XENT") in ("0", "false", "False"):
+    gradients accumulate f32.
+
+    OPT-IN (NM_FUSED_XENT=1): the fused path measured end-to-end
+    SLOWER than XLA's materialized loss tail (module docstring) — its
+    remaining value is the (N, V) memory saving, so it must be asked
+    for, not defaulted to."""
+    if os.environ.get("NM_FUSED_XENT") not in ("1", "true", "True"):
         return False
     ok = (jnp.float32, jnp.bfloat16)
     if x_dtype not in ok or w_dtype not in ok:
