@@ -26,6 +26,40 @@ def trained(tmp_path_factory):
     return exp, out
 
 
+def test_training_bounds_inflight_steps(tmp_path, monkeypatch):
+    """The loop must wait (device-side) for step i-K before running
+    ahead: an unbounded async backlog lets the per-device executors
+    skew until XLA's collective-rendezvous check aborts the process
+    (fatal SIGABRT on few-core hosts with warm compile caches —
+    learning_utils._MAX_INFLIGHT_STEPS). Counts the block points and
+    checks the bound engages roughly once per step past the window."""
+    import jax
+
+    from neuralmonkey_tpu import learning_utils
+
+    blocked = []
+    real_block = jax.block_until_ready
+
+    def counting_block(tree):
+        blocked.append(1)
+        return real_block(tree)
+
+    monkeypatch.setattr(jax, "block_until_ready", counting_block)
+    monkeypatch.setattr(learning_utils, "_MAX_INFLIGHT_STEPS", 2)
+    out = str(tmp_path / "bounded")
+    exp = Experiment(
+        CONFIG, train_mode=True,
+        config_changes=[f'main.output="{out}"', "main.epochs=1",
+                        "main.validation_period=500",
+                        "main.logging_period=100"])
+    exp.train()
+    steps = exp.tf_manager.global_step
+    assert steps > 3
+    # every step past the first K blocks exactly once (other
+    # block_until_ready users may add a handful more)
+    assert len(blocked) >= steps - 2, (len(blocked), steps)
+
+
 def test_training_runs_and_loss_decreases(trained):
     _, out = trained
     metrics_path = os.path.join(out, "metrics.jsonl")
