@@ -78,20 +78,26 @@ def _wait_for_device() -> None:
     probe = ("import jax, jax.numpy as jnp;"
              "print(float(jax.jit(lambda a: (a @ a).sum())"
              "(jnp.ones((128, 128)))))")
+    # LONG per-attempt timeout on purpose: killing a probe that is
+    # merely queued behind someone's multi-minute Mosaic compile is
+    # itself the kill-mid-remote-compile pattern that wedges the
+    # helper (CLAUDE.md). 600 s covers a cold helper; only a truly
+    # wedged relay exhausts it. Attempts repeat within the budget.
+    attempt_s = min(600.0, budget)
     while True:
         try:
             subprocess.run([sys.executable, "-c", probe],
-                           timeout=120, check=True, capture_output=True)
+                           timeout=attempt_s, check=True,
+                           capture_output=True)
             return
         except subprocess.TimeoutExpired:
-            if time.time() > deadline:
+            if time.time() + attempt_s > deadline:
                 print("bench: device probe still hanging after "
                       f"{budget:.0f}s; proceeding anyway",
                       file=sys.stderr)
                 return
-            print("bench: device probe hung (wedged relay?); "
-                  "retrying in 60s", file=sys.stderr)
-            time.sleep(60)
+            print(f"bench: device probe hung {attempt_s:.0f}s "
+                  "(wedged relay?); retrying", file=sys.stderr)
         except subprocess.CalledProcessError as exc:
             tail = (exc.stderr or b"")[-300:].decode(errors="replace")
             print(f"bench: device probe errored (not a hang): {tail}",
@@ -135,7 +141,11 @@ def measure_matmul_ceiling_spread(n_windows: int = 5) -> dict:
         start = time.perf_counter()
         _ = np.asarray(chain(x, w))
         elapsed = time.perf_counter() - start
-        return max(2.0 * n ** 3 * iters / elapsed, _TFLOPS_FALLBACK)
+        # no floor-clamp here: the spread exists to EXPOSE a degraded
+        # or contended chip, and clamping every window to the fallback
+        # would report a flat 34 TF/s instead (the fallback is only
+        # used when the measurement itself raises)
+        return 2.0 * n ** 3 * iters / elapsed
 
     return _spread(window, n=n_windows, digits=-1)
 

@@ -127,8 +127,15 @@ class BaseAttention(ModelPart):
 
     def step(self, params: Dict[str, Any],
              constants: AttentionConstants,
-             query: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """(context (B, d), weights (B, T)) for one decoder step."""
+             query: jnp.ndarray,
+             dropout_rng=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(context (B, d), weights (B, T)) for one decoder step.
+
+        ``dropout_rng`` is a per-step key the decoder's teacher-forced
+        scan threads in when training with ``dropout_keep_prob < 1``;
+        attention classes whose reference semantics drop the softmax
+        weights (scaled dot-product) use it, others ignore it.
+        Inference passes None."""
         raise NotImplementedError
 
     def attend_sequence(self, params, constants,

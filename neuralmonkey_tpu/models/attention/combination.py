@@ -101,7 +101,10 @@ class FlatMultiAttention(BaseAttention):
         return AttentionConstants(states=states_cat, keys=states_cat,
                                   mask=mask_cat)
 
-    def step(self, params, constants: AttentionConstants, query):
+    def step(self, params, constants: AttentionConstants, query,
+             dropout_rng=None):
+        # dropout_rng accepted for interface uniformity; the reference
+        # flat multi-attention has no weights-dropout site
         projected_query = nn.linear(
             params["query_proj"], query)[:, None, :]
         energies = jnp.einsum(
@@ -199,13 +202,15 @@ class HierarchicalMultiAttention(BaseAttention):
             "child_params": constants["child_params"],
         }
 
-    def step(self, params: Any, constants: Any, query: Any):
+    def step(self, params: Any, constants: Any, query: Any,
+             dropout_rng=None):
         child_contexts = []
         child_weights = []
         for i, child in enumerate(self.attentions):
             context, weights = child.step(
                 constants["child_params"][i],
-                constants["children"][i], query)
+                constants["children"][i], query,
+                dropout_rng=dropout_rng)
             child_contexts.append(context)
             child_weights.append(weights)
 

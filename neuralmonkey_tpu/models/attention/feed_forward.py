@@ -59,12 +59,22 @@ class Attention(BaseAttention):
     @tensor
     def precompute(self, ctx: Context) -> AttentionConstants:
         states = get_attention_states(ctx, self.encoder)
+        # reference parity (nm/attention/feed_forward.py
+        # `attention_states_dropped`): Bahdanau attention drops out
+        # the ATTENDED STATES in train mode — both the key projection
+        # and the returned context see the dropped states. Per-trace
+        # (ctx.dropout is train-gated, identity at inference).
+        states = ctx.dropout(self, states, self.dropout_keep_prob,
+                             "attention_states_dropout")
         mask = get_attention_mask(ctx, self.encoder)
         params = ctx.get_params(self)
         keys = nn.linear(params["key_proj"], states)  # (B, T, a)
         return AttentionConstants(states=states, keys=keys, mask=mask)
 
-    def step(self, params, constants: AttentionConstants, query):
+    def step(self, params, constants: AttentionConstants, query,
+             dropout_rng=None):
+        # dropout_rng unused: this class's reference dropout site is
+        # the states (precompute above), not the softmax weights
         projected_query = nn.linear(params["query_proj"], query)
         from ...ops.kernel_config import use_pallas
         if use_pallas():
@@ -170,9 +180,11 @@ class CoverageAttention(Attention):
         context = jnp.einsum("bt,btd->bd", weights, constants.states)
         return context, weights, coverage + weights
 
-    def step(self, params: Any, constants: Any, query: Any):
+    def step(self, params: Any, constants: Any, query: Any,
+             dropout_rng=None):
         # Fallback without state (coverage = 0); decoders that know about
         # stateful attentions call step_with_coverage instead.
+        # dropout_rng unused (states-dropout happens in precompute).
         context, weights, _ = self.step_with_coverage(
             params, constants, query,
             jnp.zeros_like(constants.mask))

@@ -63,13 +63,28 @@ class ScaledDotProdAttention(BaseAttention):
             query = nn.linear(params["query_proj"], query)
         return query
 
-    def step(self, params, constants: AttentionConstants, query):
+    def _drop_weights(self, weights, dropout_rng):
+        """Reference parity (nm/attention/scaled_dot_product.py
+        `dropout_callback`): scaled dot-product attention drops out
+        the SOFTMAX WEIGHTS in train mode (inverted dropout, no
+        renormalization — the context is computed from the dropped
+        weights). Engaged only when the decoder's train scan threads
+        a per-step rng in; inference passes None."""
+        if dropout_rng is None or self.dropout_keep_prob >= 1.0:
+            return weights
+        from ...ops.nn import dropout
+        return dropout(weights, self.dropout_keep_prob, dropout_rng,
+                       True)
+
+    def step(self, params, constants: AttentionConstants, query,
+             dropout_rng=None):
         query = self._project(params, query)
         scale = 1.0 / jnp.sqrt(query.shape[-1]).astype(query.dtype)
         energies = jnp.einsum(
             "bk,btk->bt", query, constants.keys) * scale
         weights = masked_softmax(energies, constants.mask)
-        context = jnp.einsum("bt,btd->bd", weights, constants.states)
+        dropped = self._drop_weights(weights, dropout_rng)
+        context = jnp.einsum("bt,btd->bd", dropped, constants.states)
         return context, weights
 
     beam_shared_constants = True
@@ -174,9 +189,12 @@ class MultiHeadAttention(ScaledDotProdAttention):
         return jnp.moveaxis(split, -2, -3)
 
     def _mh_attend(self, params, constants: AttentionConstants,
-                   queries: jnp.ndarray):
+                   queries: jnp.ndarray, dropout_rng=None):
         """queries: (B, Q, query_dim) against projected constants.
-        Returns contexts (B, Q, d) and head-mean weights (B, Q, T)."""
+        Returns contexts (B, Q, d) and head-mean weights (B, Q, T).
+        With ``dropout_rng`` (train), the per-head softmax weights are
+        dropped before the value contraction (reference
+        `dropout_callback`; returned weight histories stay undropped)."""
         q = self._heads(nn.linear(params["query_proj"], queries))
         k = self._heads(constants.keys)
         v = self._heads(constants.states)
@@ -184,15 +202,18 @@ class MultiHeadAttention(ScaledDotProdAttention):
         energies = jnp.einsum("bhqd,bhtd->bhqt", q, k) * scale
         weights = masked_softmax(
             energies, constants.mask[:, None, None, :])
-        ctxs = jnp.einsum("bhqt,bhtd->bhqd", weights, v)
+        dropped = self._drop_weights(weights, dropout_rng)
+        ctxs = jnp.einsum("bhqt,bhtd->bhqd", dropped, v)
         merged = jnp.moveaxis(ctxs, -3, -2).reshape(
             *queries.shape[:-1], -1)
         return (nn.linear(params["out_proj"], merged),
                 jnp.mean(weights, axis=1))
 
-    def step(self, params, constants: AttentionConstants, query):
+    def step(self, params, constants: AttentionConstants, query,
+             dropout_rng=None):
         context, weights = self._mh_attend(
-            params, constants, query[:, None, :])
+            params, constants, query[:, None, :],
+            dropout_rng=dropout_rng)
         return context[:, 0], weights[:, 0]
 
     def step_beamed(self, params, constants: AttentionConstants,

@@ -147,6 +147,16 @@ class Decoder(AutoregressiveDecoder):
                                 for a in self.attentions),
             "att_constants": tuple(a.precompute(ctx)
                                    for a in self.attentions),
+            # per-attention base rng for train-time weights dropout
+            # (scaled dot-product classes; folded per step in the
+            # teacher-forced scan). None outside training or when the
+            # attention has no dropout configured.
+            "att_dropout_base": tuple(
+                (ctx.make_rng(a, "attention_dropout")
+                 if ctx.train
+                 and getattr(a, "dropout_keep_prob", 1.0) < 1.0
+                 else None)
+                for a in self.attentions),
             "embed_table":
                 ctx.get_params(self.embeddings)["embeddings"],
         }
@@ -160,15 +170,19 @@ class Decoder(AutoregressiveDecoder):
                 states.append(None)
         return tuple(states)
 
-    def _attend_all(self, constants, query, att_states, beam=None):
+    def _attend_all(self, constants, query, att_states, beam=None,
+                    dropout_rngs=None):
         """Run every attention for one step. Returns (contexts list,
         weights list, new att_states). With ``beam`` set (lineage beam
         decoding), beam-sharing attentions get their UNtiled constants
-        and fold the beam axis internally."""
+        and fold the beam axis internally. ``dropout_rngs`` (train
+        scan only) carries one per-step key per attention for
+        weights-dropout; inference leaves it None."""
         contexts, weights, new_states = [], [], []
         for i, att in enumerate(self.attentions):
             p = constants["att_params"][i]
             c = constants["att_constants"][i]
+            rng_i = dropout_rngs[i] if dropout_rngs else None
             if getattr(att, "stateful_attention", False):
                 context, w, new_cov = att.step_with_coverage(
                     p, c, query, att_states[i])
@@ -177,14 +191,15 @@ class Decoder(AutoregressiveDecoder):
                 if beam is not None and att.beam_shared_constants:
                     context, w = att.step_beamed(p, c, query, beam)
                 else:
-                    context, w = att.step(p, c, query)
+                    context, w = att.step(p, c, query,
+                                          dropout_rng=rng_i)
                 new_states.append(None)
             contexts.append(context)
             weights.append(w)
         return contexts, weights, tuple(new_states)
 
     def _cell_step(self, constants, state, att_states, embedded_prev,
-                   noise_rng=None, beam=None):
+                   noise_rng=None, beam=None, att_dropout_rngs=None):
         """One decoder cell step. Returns
         (new_state, prelogit_input, weights, new_att_states)."""
         params = constants["params"]
@@ -197,7 +212,8 @@ class Decoder(AutoregressiveDecoder):
                                    **cell1_kwargs)
             if self.attentions:
                 contexts, weights, new_att = self._attend_all(
-                    constants, inter, att_states, beam=beam)
+                    constants, inter, att_states, beam=beam,
+                    dropout_rngs=att_dropout_rngs)
                 context_cat = jnp.concatenate(contexts, axis=-1)
                 new_state, _ = self._cell2(
                     params["cell2"], inter, context_cat)
@@ -208,7 +224,8 @@ class Decoder(AutoregressiveDecoder):
         else:
             if self.attentions:
                 contexts, weights, new_att = self._attend_all(
-                    constants, state, att_states, beam=beam)
+                    constants, state, att_states, beam=beam,
+                    dropout_rngs=att_dropout_rngs)
                 context_cat = jnp.concatenate(contexts, axis=-1)
                 cell_in = jnp.concatenate(
                     [embedded_prev, context_cat], axis=-1)
@@ -274,14 +291,22 @@ class Decoder(AutoregressiveDecoder):
                       else None)
         steps = jnp.arange(embedded_tm.shape[0])
 
+        att_bases = constants["att_dropout_base"]
+
         def body(carry, xs):
             emb_t, t = xs
             state, att_states = carry
             noise_rng = (jax.random.fold_in(noise_base, t)
                          if noise_base is not None else None)
+            # independent attention-dropout mask per step (reference:
+            # tf.nn.dropout draws fresh each dynamic-rnn iteration)
+            att_rngs = (tuple(
+                (jax.random.fold_in(b, t) if b is not None else None)
+                for b in att_bases)
+                if any(b is not None for b in att_bases) else None)
             new_state, prelogit_in, weights, new_att = self._cell_step(
                 constants, state, att_states, emb_t,
-                noise_rng=noise_rng)
+                noise_rng=noise_rng, att_dropout_rngs=att_rngs)
             return (new_state, new_att), (prelogit_in, tuple(weights))
 
         _, (prelogit_tm, weights_tm) = jax.lax.scan(

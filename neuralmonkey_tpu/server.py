@@ -215,6 +215,16 @@ class ModelService:
                         self._run_split(pending.series, [pending])
                     except Exception as solo:  # pylint: disable=broad-except
                         pending.error = solo
+        except BaseException as exc:
+            # SystemExit/KeyboardInterrupt escaping run_model: the
+            # finally below completes the in-flight events, and
+            # without an error mark those clients would receive a
+            # bogus HTTP 200 "null" — fail them explicitly, then let
+            # the worker's crash handler fail the still-queued rest
+            for pending in group:
+                pending.error = RuntimeError(
+                    f"batching worker crashed: {exc!r}")
+            raise
         finally:
             for pending in group:
                 pending.event.set()

@@ -67,6 +67,7 @@ def host_fingerprint() -> str:
     import hashlib
     import platform
     bits = [platform.machine(), platform.system()]
+    got_flags = False
     try:
         with open("/proc/cpuinfo") as fh:
             for line in fh:
@@ -74,9 +75,17 @@ def host_fingerprint() -> str:
                 if line.startswith(("flags", "Features")):
                     bits.append(" ".join(
                         sorted(line.split(":", 1)[1].split())))
+                    got_flags = True
                     break
     except OSError:
         pass
+    if not got_flags:
+        # no /proc/cpuinfo (macOS/BSD): fall back to the richest
+        # portable identifiers so two different CPU generations do
+        # not silently collapse to one fingerprint — weaker than the
+        # feature-flag hash, but platform.processor() carries the CPU
+        # brand string on Darwin
+        bits.extend([platform.processor(), platform.version()])
     return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
 
 
@@ -117,10 +126,17 @@ def enable_compilation_cache(cache_dir: Optional[str] = None,
     if not enabled:
         # a second Experiment in the same process (server, notebook,
         # test suite) with compilation_cache=False must actually turn
-        # the cache off, not inherit the first experiment's setting
+        # the cache off, not inherit the first experiment's setting —
+        # but only OUR setting: if the user re-pointed JAX directly
+        # since our enable, their configuration wins (same contract as
+        # the enable path below)
         if _configured is not None:
             try:
-                jax.config.update("jax_compilation_cache_dir", None)
+                current = getattr(jax.config,
+                                  "jax_compilation_cache_dir", None)
+                if current == _configured:
+                    jax.config.update("jax_compilation_cache_dir",
+                                      None)
             except AttributeError:
                 pass
             _configured = None
@@ -139,9 +155,12 @@ def enable_compilation_cache(cache_dir: Optional[str] = None,
         # migrate away from the pre-fingerprint flat layout: entries
         # sitting directly in xla-cache/ may have been written by a
         # different machine (the very hazard the fingerprint fixes) —
-        # drop them rather than risk loading foreign machine code
-        parent = os.path.dirname(cache_dir)
-        if os.path.basename(parent) == "xla-cache":
+        # drop them rather than risk loading foreign machine code.
+        # ONLY for the default layout we own: an explicit user dir
+        # (INI/env) is used verbatim and its surroundings are not ours
+        # to clean, even if a sibling happens to be named like ours.
+        if cache_dir == default_cache_dir():
+            parent = os.path.dirname(cache_dir)
             for name in os.listdir(parent):
                 if name.endswith(("-cache", "-atime")):
                     try:
@@ -149,6 +168,16 @@ def enable_compilation_cache(cache_dir: Optional[str] = None,
                     except OSError:
                         pass
         jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except (OSError, AttributeError) as exc:
+        log(f"persistent compilation cache unavailable: {exc}",
+            color="red")
+        return None
+    # the cache is ACTIVE from here — record that before the
+    # best-effort extras below, or a failure in them would leave the
+    # cache enabled in JAX while this module believes it is not
+    # (breaking the disable contract above)
+    _configured = cache_dir
+    try:
         # bound the shared cache: JAX only LRU-evicts when a max size
         # is set, and the default dir is shared across experiments —
         # unbounded growth otherwise. Respect an explicit user bound.
@@ -168,9 +197,6 @@ def enable_compilation_cache(cache_dir: Optional[str] = None,
                     with open(atime, "wb"):
                         pass
     except (OSError, AttributeError) as exc:
-        log(f"persistent compilation cache unavailable: {exc}",
-            color="red")
-        return None
-    _configured = cache_dir
+        log(f"compilation cache size bound unavailable: {exc}")
     log(f"persistent XLA compilation cache at {cache_dir}")
     return cache_dir

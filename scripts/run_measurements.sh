@@ -32,11 +32,13 @@ fi
 # 1. fused-xent isolated A/B (item 2)
 step fused_xent_profile timeout 2400 python scripts/profile_fused_xent.py
 
-# 2. end-to-end train A/B: fused on (default) vs off (item 2)
-step train_rnn_fused timeout 2400 python bench.py --train
-step train_rnn_unfused env NM_FUSED_XENT=0 timeout 2400 python bench.py --train
-step train_tr_fused timeout 2400 python bench.py --train --model=transformer
-step train_tr_unfused env NM_FUSED_XENT=0 timeout 2400 python bench.py --train --model=transformer
+# 2. end-to-end train A/B. The round-10 A/B flipped the product
+# default to UNFUSED, so the fused arm now opts in explicitly —
+# plain `bench.py --train` measures the shipped (unfused) default.
+step train_rnn_fused env NM_FUSED_XENT=1 timeout 2400 python bench.py --train
+step train_rnn_unfused timeout 2400 python bench.py --train
+step train_tr_fused env NM_FUSED_XENT=1 timeout 2400 python bench.py --train --model=transformer
+step train_tr_unfused timeout 2400 python bench.py --train --model=transformer
 
 # 3. train-step anatomy re-ablation (item 8)
 step anatomy_transformer timeout 2400 python scripts/profile_ttrain.py

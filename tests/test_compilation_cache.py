@@ -136,31 +136,48 @@ def test_default_dir_is_host_fingerprinted():
     assert os.path.basename(os.path.dirname(default)) == "xla-cache"
 
 
-def test_legacy_flat_entries_are_swept(tmp_path):
+def test_legacy_flat_entries_are_swept(tmp_path, monkeypatch):
     """Entries written by the pre-fingerprint layout sit directly in
-    xla-cache/ and may come from a different machine — enabling the
-    cache must drop them instead of leaving them loadable."""
+    the DEFAULT xla-cache/ and may come from a different machine —
+    enabling the cache must drop them instead of leaving them
+    loadable. The sweep only touches the default layout we own; an
+    explicit user dir is used verbatim with no sweeping."""
     import jax
 
     from neuralmonkey_tpu.utils import compilation_cache as cc
 
     before = getattr(jax.config, "jax_compilation_cache_dir", None)
     before_configured = cc._configured
-    parent = tmp_path / "xla-cache"
-    parent.mkdir()
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    parent = tmp_path / "neuralmonkey_tpu" / "xla-cache"
+    parent.mkdir(parents=True)
     legacy_cache = parent / "jit_f-deadbeef-cache"
     legacy_atime = parent / "jit_f-deadbeef-atime"
     legacy_cache.write_bytes(b"foreign machine code")
     legacy_atime.write_bytes(b"")
     keeper = parent / "README"  # non-entry files are left alone
     keeper.write_text("not a cache entry")
-    target = str(parent / cc.host_fingerprint())
+    target = cc.default_cache_dir()
+    assert str(parent) == os.path.dirname(target)
     try:
-        assert cc.enable_compilation_cache(cache_dir=target) == target
+        assert cc.enable_compilation_cache() == target
         assert not legacy_cache.exists()
         assert not legacy_atime.exists()
         assert keeper.exists()
         assert os.path.isdir(target)
+
+        # an EXPLICIT dir whose parent happens to be called xla-cache
+        # is not swept (not our layout, not our files)
+        cc._configured = None
+        jax.config.update("jax_compilation_cache_dir", None)
+        other = tmp_path / "user" / "xla-cache"
+        other.mkdir(parents=True)
+        foreign = other / "jit_g-cafebabe-cache"
+        foreign.write_bytes(b"someone else's cache")
+        explicit = str(other / "mine")
+        assert cc.enable_compilation_cache(
+            cache_dir=explicit) == explicit
+        assert foreign.exists()
     finally:
         jax.config.update("jax_compilation_cache_dir", before)
         cc._configured = before_configured

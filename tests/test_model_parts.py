@@ -183,6 +183,74 @@ def test_multi_head_attention(setup):
                                np.asarray(step2_ctx), atol=1e-5)
 
 
+def test_scaled_dot_attention_weights_dropout(setup):
+    """Reference parity (nm/attention/scaled_dot_product.py
+    dropout_callback): with dropout_keep_prob < 1 and a train-scan
+    rng, the softmax WEIGHTS are dropped before the value contraction
+    — the context changes, the returned (undropped) weight history
+    does not; no rng (inference) and keep=1 are identity."""
+    from neuralmonkey_tpu.models.attention.scaled_dot_product import \
+        MultiHeadAttention
+    vs, _, ds = setup
+    enc = SentenceEncoder(name="enc_wd", vocabulary=vs,
+                          data_id="source", embedding_size=6,
+                          rnn_size=5)
+    att = ScaledDotProdAttention(name="sdp_wd", keys_encoder=enc,
+                                 dropout_keep_prob=0.5)
+    att.register_query_dim(4)
+    ctx, params = _build([enc, att], ds)
+    constants = att.precompute(ctx)
+    query = jnp.ones((3, 4))
+    base_ctxv, base_w = att.step(params["sdp_wd"], constants, query)
+    rng = jax.random.PRNGKey(7)
+    drop_ctxv, drop_w = att.step(params["sdp_wd"], constants, query,
+                                 dropout_rng=rng)
+    assert not np.allclose(np.asarray(drop_ctxv),
+                           np.asarray(base_ctxv))
+    np.testing.assert_allclose(np.asarray(drop_w), np.asarray(base_w),
+                               atol=1e-6)  # history stays undropped
+    # keep=1.0 ignores the rng entirely
+    att.dropout_keep_prob = 1.0
+    same_ctxv, _ = att.step(params["sdp_wd"], constants, query,
+                            dropout_rng=rng)
+    np.testing.assert_allclose(np.asarray(same_ctxv),
+                               np.asarray(base_ctxv), atol=1e-6)
+
+    # the multi-head variant drops per-head weights the same way
+    mh = MultiHeadAttention(name="mha_wd", n_heads=2,
+                            keys_encoder=enc, dropout_keep_prob=0.5)
+    mh.register_query_dim(4)
+    ctx2, params2 = _build([enc, mh], ds)
+    c2 = mh.precompute(ctx2)
+    b_ctxv, _ = mh.step(params2["mha_wd"], c2, query)
+    d_ctxv, _ = mh.step(params2["mha_wd"], c2, query, dropout_rng=rng)
+    assert not np.allclose(np.asarray(d_ctxv), np.asarray(b_ctxv))
+
+
+def test_bahdanau_attention_states_dropout(setup):
+    """Reference parity (nm/attention/feed_forward.py
+    attention_states_dropped): Bahdanau attention drops the attended
+    STATES in train mode — train-ctx precompute with keep<1 differs
+    from inference; inference is identity regardless of keep."""
+    vs, _, ds = setup
+    enc = SentenceEncoder(name="enc_sd", vocabulary=vs,
+                          data_id="source", embedding_size=6,
+                          rnn_size=5)
+    att = Attention(name="att_sd", encoder=enc, dropout_keep_prob=0.5)
+    att.register_query_dim(7)
+    infer_ctx, params = _build([enc, att], ds)
+    infer_states = np.asarray(att.precompute(infer_ctx).states)
+    train_ctx, _ = _build([enc, att], ds, train=True,
+                          rng=jax.random.PRNGKey(3))
+    train_states = np.asarray(att.precompute(train_ctx).states)
+    assert not np.allclose(train_states, infer_states)
+    # dropped entries are exact zeros; survivors are scaled by 1/keep
+    zeros = train_states == 0.0
+    assert zeros.any()
+    np.testing.assert_allclose(train_states[~zeros],
+                               (infer_states * 2.0)[~zeros], rtol=1e-5)
+
+
 def test_multi_head_attention_in_decoder(setup):
     """MultiHeadAttention drives a full RNN decoder: train loss is
     finite and greedy decode runs (the reference's Luong multi-head

@@ -192,7 +192,15 @@ def test_server_close_drains_queue():
     threads = [threading.Thread(target=client) for _ in range(8)]
     for t in threads:
         t.start()
-    time.sleep(0.02)  # let them enqueue
+    # wait until every client has ENQUEUED (stats["requests"]
+    # increments under the lock at enqueue) — a fixed sleep races the
+    # thread starts on an oversubscribed host and a late client would
+    # see "shutting down" instead of being drained
+    deadline = time.monotonic() + 30.0
+    while (service.stats["requests"] < 8
+           and time.monotonic() < deadline):
+        time.sleep(0.005)
+    assert service.stats["requests"] == 8
     service.close()
     for t in threads:
         t.join(timeout=30)
