@@ -274,6 +274,53 @@ def test_multi_head_attention_in_decoder(setup):
     assert decoded.shape == (3, 4)
 
 
+def test_attention_dropout_threads_through_train_scan(setup):
+    """The teacher-forced scan folds a fresh per-step rng into each
+    attention's weights-dropout: with dropout_keep_prob < 1 the train
+    loss differs from the keep=1 model under the SAME params and rng,
+    is deterministic for a fixed rng, and greedy decode (inference,
+    no rng) is identical for both settings."""
+    from neuralmonkey_tpu.models.attention.scaled_dot_product import \
+        MultiHeadAttention
+    vs, vt, ds = setup
+
+    def build_dec(keep):
+        enc = SentenceEncoder(name="enc_ad", vocabulary=vs,
+                              data_id="source", embedding_size=6,
+                              rnn_size=5)
+        att = MultiHeadAttention(name="att_ad", n_heads=2,
+                                 keys_encoder=enc,
+                                 dropout_keep_prob=keep)
+        return Decoder(name="dec_ad", vocabulary=vt, data_id="target",
+                       max_output_len=4, rnn_size=7, encoders=[enc],
+                       attentions=[att], embedding_size=6)
+
+    dec_plain = build_dec(1.0)
+    ctx, params = _build([dec_plain], ds, train=True,
+                         rng=jax.random.PRNGKey(5))
+    loss_plain = float(dec_plain.train_loss(ctx))
+
+    dec_drop = build_dec(0.5)  # same part names -> same params
+    ctx_drop = Context(params, ctx.batch, train=True,
+                       rng=jax.random.PRNGKey(5))
+    loss_drop = float(dec_drop.train_loss(ctx_drop))
+    assert np.isfinite(loss_drop)
+    assert loss_drop != loss_plain
+
+    # deterministic under a fixed rng
+    ctx_again = Context(params, ctx.batch, train=True,
+                        rng=jax.random.PRNGKey(5))
+    assert float(dec_drop.train_loss(ctx_again)) == loss_drop
+
+    # inference is identity regardless of the configured keep prob
+    ctx_eval = Context(params, ctx.batch, train=False)
+    _, ids_plain, _ = dec_plain.greedy_outputs(ctx_eval)
+    ctx_eval2 = Context(params, ctx.batch, train=False)
+    _, ids_drop, _ = dec_drop.greedy_outputs(ctx_eval2)
+    np.testing.assert_array_equal(np.asarray(ids_plain),
+                                  np.asarray(ids_drop))
+
+
 def test_decoder_train_and_greedy(setup):
     vs, vt, ds = setup
     enc = SentenceEncoder(name="enc", vocabulary=vs, data_id="source",
